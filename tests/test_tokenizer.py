@@ -1,0 +1,69 @@
+import pickle
+
+from virtex_tpu.data.tokenizers import (
+    EOS_INDEX,
+    MASK_INDEX,
+    SOS_INDEX,
+    UNK_INDEX,
+    SentencePieceBPETokenizer,
+    preprocess_caption,
+    train_tokenizer,
+)
+
+CORPUS = [
+    "a man riding a wave on top of a surfboard",
+    "a cat sitting on a red couch next to a window",
+    "two dogs playing with a frisbee in the park",
+    "a group of people standing around a kitchen table",
+    "the quick brown fox jumps over the lazy dog",
+    "a plate of food with broccoli and rice",
+    "Café au lait on a wooden table",
+] * 30
+
+
+def _train(tmp_path):
+    return train_tokenizer(CORPUS, str(tmp_path / "tok.model"), vocab_size=500)
+
+
+def test_special_token_indices(tmp_path):
+    tok = _train(tmp_path)
+    assert tok.token_to_id("<unk>") == UNK_INDEX == 0
+    assert tok.token_to_id("[SOS]") == SOS_INDEX == 1
+    assert tok.token_to_id("[EOS]") == EOS_INDEX == 2
+    assert tok.token_to_id("[MASK]") == MASK_INDEX == 3
+
+
+def test_roundtrip(tmp_path):
+    tok = _train(tmp_path)
+    text = "a man riding a wave"
+    ids = tok.encode(text)
+    assert len(ids) > 0
+    assert all(i >= 0 for i in ids)
+    assert tok.decode(ids) == text
+
+
+def test_decode_skips_special(tmp_path):
+    tok = _train(tmp_path)
+    ids = tok.encode("a cat sitting")
+    padded = [SOS_INDEX] + ids + [EOS_INDEX, UNK_INDEX, UNK_INDEX, MASK_INDEX]
+    assert tok.decode(padded) == "a cat sitting"
+
+
+def test_preprocess_caption():
+    assert preprocess_caption("Café Au Lait") == "cafe au lait"
+
+
+def test_accent_and_case_folding_in_encode(tmp_path):
+    tok = _train(tmp_path)
+    assert tok.encode("CAFÉ au lait") == tok.encode("cafe au lait")
+
+
+def test_pickle_safe(tmp_path):
+    tok = _train(tmp_path)
+    tok2 = pickle.loads(pickle.dumps(tok))
+    assert tok2.encode("a man riding") == tok.encode("a man riding")
+
+
+def test_vocab_size(tmp_path):
+    tok = _train(tmp_path)
+    assert 4 < tok.get_vocab_size() <= 500

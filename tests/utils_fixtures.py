@@ -1,0 +1,62 @@
+"""Shared synthetic-data fixtures: a tiny fake COCO tree + trained tokenizer."""
+import json
+import os
+
+import cv2
+import numpy as np
+
+CAPTIONS = [
+    "a man riding a wave on top of a surfboard",
+    "a cat sitting on the left side of a red couch",
+    "two dogs playing with a frisbee in the park",
+    "a group of people standing around a kitchen",
+    "a plate of food with broccoli and rice on the right",
+    "a red bus driving down a city street",
+]
+
+
+def make_fake_coco(root, n_images=8, size=(120, 160), splits=("train", "val"),
+                   seed=0):
+    """Create a miniature COCO-2017-layout dataset with captions and
+    instances annotation files."""
+    rng = np.random.RandomState(seed)
+    for split in splits:
+        img_dir = os.path.join(root, f"{split}2017")
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+        images, annotations, inst_annotations = [], [], []
+        ann_id = 1
+        for i in range(n_images):
+            image_id = i + 1
+            fname = f"{image_id:012d}.jpg"
+            img = rng.randint(0, 255, (*size, 3), dtype=np.uint8)
+            cv2.imwrite(os.path.join(img_dir, fname), img)
+            images.append({"id": image_id, "file_name": fname,
+                           "height": size[0], "width": size[1]})
+            for j in range(2):  # two captions per image
+                annotations.append({
+                    "id": ann_id, "image_id": image_id,
+                    "caption": CAPTIONS[(i + j) % len(CAPTIONS)],
+                })
+                ann_id += 1
+            inst_annotations.append({
+                "id": ann_id, "image_id": image_id,
+                "category_id": [1, 18, 90][i % 3], "bbox": [0, 0, 10, 10],
+            })
+            ann_id += 1
+        with open(os.path.join(root, "annotations",
+                               f"captions_{split}2017.json"), "w") as f:
+            json.dump({"images": images, "annotations": annotations}, f)
+        categories = [{"id": c, "name": f"cat{c}"} for c in (1, 18, 90)]
+        with open(os.path.join(root, "annotations",
+                               f"instances_{split}2017.json"), "w") as f:
+            json.dump({"images": images, "annotations": inst_annotations,
+                       "categories": categories}, f)
+    return root
+
+
+def make_tokenizer(tmp_path, vocab_size=300):
+    from virtex_tpu.data.tokenizers import train_tokenizer
+    return train_tokenizer(
+        CAPTIONS * 40, str(tmp_path / "tok.model"), vocab_size=vocab_size
+    )

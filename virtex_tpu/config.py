@@ -1,0 +1,358 @@
+r"""
+Package-wide configuration management.
+
+A nested, dict-like, attribute-accessible config with a complete default
+schema, YAML ``_BASE_`` inheritance, dotted-key CLI overrides, and
+freeze-after-construction immutability.
+
+Schema parity with the reference ``virtex/config.py:36-219`` (kdexd/virtex),
+re-implemented from scratch on plain Python + PyYAML (no fvcore dependency).
+TPU-specific additions live under ``AMP``-replacement keys: ``DTYPE`` (bf16
+compute) and ``PARALLEL`` (mesh axes), which the reference expresses as
+CUDA/AMP/cudnn knobs (``config.py:42-53``).
+"""
+from __future__ import annotations
+
+import copy
+import io
+import os
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+_BASE_KEY = "_BASE_"
+
+
+class CfgNode(dict):
+    """A lightweight fvcore-style config node: a dict whose keys are also
+    attributes, with recursive merge and freezing."""
+
+    IMMUTABLE = "__immutable__"
+
+    def __init__(self, init_dict: Optional[Dict[str, Any]] = None):
+        init_dict = init_dict or {}
+        super().__init__()
+        object.__setattr__(self, CfgNode.IMMUTABLE, False)
+        for k, v in init_dict.items():
+            self[k] = CfgNode(v) if isinstance(v, dict) else v
+
+    # -- attribute access ---------------------------------------------------
+    def __getattr__(self, name: str) -> Any:
+        if name in self:
+            return self[name]
+        raise AttributeError(f"Config has no attribute {name!r}")
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        if object.__getattribute__(self, CfgNode.IMMUTABLE):
+            raise AttributeError(f"Config is immutable; cannot set {name!r}")
+        self[name] = value
+
+    def __setitem__(self, name: str, value: Any) -> None:
+        if object.__getattribute__(self, CfgNode.IMMUTABLE):
+            raise AttributeError(f"Config is immutable; cannot set {name!r}")
+        super().__setitem__(name, value)
+
+    # -- freeze / thaw ------------------------------------------------------
+    def freeze(self) -> None:
+        object.__setattr__(self, CfgNode.IMMUTABLE, True)
+        for v in self.values():
+            if isinstance(v, CfgNode):
+                v.freeze()
+
+    def defrost(self) -> None:
+        object.__setattr__(self, CfgNode.IMMUTABLE, False)
+        for v in self.values():
+            if isinstance(v, CfgNode):
+                v.defrost()
+
+    def is_frozen(self) -> bool:
+        return object.__getattribute__(self, CfgNode.IMMUTABLE)
+
+    def clone(self) -> "CfgNode":
+        return copy.deepcopy(self)
+
+    def __deepcopy__(self, memo):
+        out = CfgNode()
+        memo[id(self)] = out
+        for k, v in self.items():
+            dict.__setitem__(out, k, copy.deepcopy(v, memo))
+        return out
+
+    # -- merging ------------------------------------------------------------
+    def merge_from_other(self, other: "CfgNode", _path: str = "") -> None:
+        """Recursively merge ``other`` into self. Keys must already exist in
+        self (type-checked), mirroring fvcore semantics."""
+        for k, v in other.items():
+            full = f"{_path}.{k}" if _path else k
+            if k not in self:
+                raise KeyError(f"Non-existent config key: {full}")
+            old = self[k]
+            if isinstance(old, CfgNode) and isinstance(v, (dict, CfgNode)):
+                old.merge_from_other(
+                    v if isinstance(v, CfgNode) else CfgNode(v), full
+                )
+            else:
+                self[k] = _check_value_type(old, v, full)
+
+    def merge_from_file(self, config_file: str) -> None:
+        loaded = _load_yaml_with_base(config_file)
+        self.merge_from_other(loaded)
+
+    def merge_from_list(self, override_list: List[Any]) -> None:
+        if len(override_list) % 2 != 0:
+            raise ValueError(
+                "Override list must have even length (key value pairs); "
+                f"got {override_list}"
+            )
+        for key, value in zip(override_list[0::2], override_list[1::2]):
+            node = self
+            parts = str(key).split(".")
+            for p in parts[:-1]:
+                if p not in node or not isinstance(node[p], CfgNode):
+                    raise KeyError(f"Non-existent config key: {key}")
+                node = node[p]
+            leaf = parts[-1]
+            if leaf not in node:
+                raise KeyError(f"Non-existent config key: {key}")
+            if isinstance(value, str):
+                value = _decode_value(value)
+            node[leaf] = _check_value_type(node[leaf], value, str(key))
+
+    # -- serialization --------------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            k: (v.to_dict() if isinstance(v, CfgNode) else copy.deepcopy(v))
+            for k, v in self.items()
+        }
+
+    def dump(self, stream=None) -> str:
+        text = yaml.safe_dump(self.to_dict(), default_flow_style=False)
+        if stream is not None:
+            stream.write(text)
+        return text
+
+    def __str__(self) -> str:
+        return self.dump()
+
+    def __repr__(self) -> str:
+        return f"CfgNode({super().__repr__()})"
+
+
+def _decode_value(value: str) -> Any:
+    """Decode a CLI-override string into a Python value via YAML."""
+    try:
+        return yaml.safe_load(io.StringIO(value))
+    except yaml.YAMLError:
+        return value
+
+
+def _check_value_type(old: Any, new: Any, key: str) -> Any:
+    if old is None or new is None:
+        return new
+    if isinstance(new, dict) and isinstance(old, CfgNode):
+        merged = old.clone()
+        merged.defrost()
+        merged.merge_from_other(CfgNode(new), key)
+        return merged
+    # int is acceptable where float expected, and bool is a subtype of int.
+    if isinstance(old, float) and isinstance(new, int) and not isinstance(new, bool):
+        return float(new)
+    if isinstance(old, (list, tuple)) and isinstance(new, (list, tuple)):
+        return list(new)
+    if type(old) is not type(new):
+        raise TypeError(
+            f"Type mismatch for config key {key}: "
+            f"expected {type(old).__name__}, got {type(new).__name__} ({new!r})"
+        )
+    return new
+
+
+def _load_yaml_with_base(config_file: str) -> CfgNode:
+    """Load a YAML file, recursively resolving ``_BASE_`` inheritance
+    (relative paths resolved against the including file's directory)."""
+    with open(config_file, "r") as f:
+        raw = yaml.safe_load(f) or {}
+    if _BASE_KEY in raw:
+        base_path = raw.pop(_BASE_KEY)
+        if not os.path.isabs(base_path):
+            base_path = os.path.join(os.path.dirname(config_file), base_path)
+        base = _load_yaml_with_base(base_path)
+        _merge_free(base, raw)
+        return base
+    return CfgNode(raw)
+
+
+def _merge_free(base: CfgNode, overrides: Dict[str, Any]) -> None:
+    """Merge without schema checking (used for _BASE_ resolution where the
+    child may introduce keys checked later against the default schema)."""
+    for k, v in overrides.items():
+        if k in base and isinstance(base[k], CfgNode) and isinstance(v, dict):
+            _merge_free(base[k], v)
+        else:
+            base[k] = CfgNode(v) if isinstance(v, dict) else v
+
+
+# ---------------------------------------------------------------------------
+
+
+def _default_config() -> CfgNode:
+    """The complete default schema. Mirrors reference ``config.py:36-219``,
+    with TPU-native replacements for the CUDA-specific keys."""
+    _C = CfgNode()
+
+    # Random seed for numpy / JAX PRNG threading; full reproducibility.
+    _C.RANDOM_SEED = 0
+    # Compute dtype for model forward/backward. On TPU, bfloat16 replaces
+    # the reference's CUDA AMP + GradScaler (no loss scaling needed).
+    _C.DTYPE = "bfloat16"
+    # Kept for config-file compatibility with reference YAMLs; ignored on TPU
+    # (XLA is deterministic given fixed seeds; no cudnn).
+    _C.AMP = True
+    _C.CUDNN_DETERMINISTIC = False
+    _C.CUDNN_BENCHMARK = True
+
+    # -- Parallelism (TPU-native; no reference equivalent — DDP implicit) ---
+    _C.PARALLEL = CfgNode()
+    # Mesh axis sizes. -1 on DATA means "all remaining devices".
+    _C.PARALLEL.DATA = -1
+    # Tensor-parallel axis for the textual head (1 = off).
+    _C.PARALLEL.MODEL = 1
+
+    # ------------------------------------------------------------------ DATA
+    _C.DATA = CfgNode()
+    _C.DATA.ROOT = "datasets/coco"
+    _C.DATA.TOKENIZER_MODEL = "datasets/vocab/coco_10k.model"
+    _C.DATA.VOCAB_SIZE = 10000
+    _C.DATA.UNK_INDEX = 0
+    _C.DATA.SOS_INDEX = 1
+    _C.DATA.EOS_INDEX = 2
+    _C.DATA.MASK_INDEX = 3
+    _C.DATA.IMAGE_CROP_SIZE = 224
+    _C.DATA.MAX_CAPTION_LENGTH = 30
+
+    _C.DATA.IMAGE_TRANSFORM_TRAIN = [
+        "random_resized_crop",
+        "horizontal_flip",
+        "color_jitter",
+        "normalize",
+    ]
+    _C.DATA.IMAGE_TRANSFORM_VAL = [
+        "smallest_resize",
+        "center_crop",
+        "normalize",
+    ]
+
+    _C.DATA.MASKED_LM = CfgNode()
+    _C.DATA.MASKED_LM.MASK_PROPORTION = 0.15
+    _C.DATA.MASKED_LM.MASK_PROBABILITY = 0.85
+    _C.DATA.MASKED_LM.REPLACE_PROBABILITY = 0.10
+
+    # Host-side input pipeline knobs (TPU-native; reference uses torch
+    # DataLoader workers configured via CLI).
+    _C.DATA.PREFETCH = 2
+
+    # ----------------------------------------------------------------- MODEL
+    _C.MODEL = CfgNode()
+    _C.MODEL.NAME = "virtex"
+
+    _C.MODEL.VISUAL = CfgNode()
+    _C.MODEL.VISUAL.NAME = "torchvision::resnet50"
+    _C.MODEL.VISUAL.FEATURE_SIZE = 2048
+    _C.MODEL.VISUAL.PRETRAINED = False
+    _C.MODEL.VISUAL.FROZEN = False
+
+    _C.MODEL.TEXTUAL = CfgNode()
+    _C.MODEL.TEXTUAL.NAME = "transdec_postnorm::L1_H2048_A32_F8192"
+    _C.MODEL.TEXTUAL.DROPOUT = 0.1
+
+    _C.MODEL.DECODER = CfgNode()
+    _C.MODEL.DECODER.NAME = "beam_search"
+    _C.MODEL.DECODER.BEAM_SIZE = 5
+    _C.MODEL.DECODER.NUCLEUS_SIZE = 0.9
+    _C.MODEL.DECODER.MAX_DECODING_STEPS = 30
+
+    # ----------------------------------------------------------------- OPTIM
+    _C.OPTIM = CfgNode()
+    _C.OPTIM.OPTIMIZER_NAME = "sgd"
+    _C.OPTIM.SGD_MOMENTUM = 0.9
+    _C.OPTIM.WEIGHT_DECAY = 0.0001
+    _C.OPTIM.NO_DECAY = ".*textual.(embedding|transformer).*(norm.*|bias)"
+    _C.OPTIM.CLIP_GRAD_NORM = 10.0
+
+    _C.OPTIM.LOOKAHEAD = CfgNode()
+    _C.OPTIM.LOOKAHEAD.USE = True
+    _C.OPTIM.LOOKAHEAD.ALPHA = 0.5
+    _C.OPTIM.LOOKAHEAD.STEPS = 5
+
+    _C.OPTIM.BATCH_SIZE = 256
+    _C.OPTIM.CNN_LR = 0.2
+    _C.OPTIM.LR = 0.001
+    _C.OPTIM.NUM_ITERATIONS = 500000
+    _C.OPTIM.WARMUP_STEPS = 10000
+    _C.OPTIM.LR_DECAY_NAME = "cosine"
+    _C.OPTIM.LR_STEPS = []
+    _C.OPTIM.LR_GAMMA = 0.1
+
+    return _C
+
+
+class Config:
+    r"""
+    Frozen package-wide configuration. Defaults are overridden (in order) by a
+    YAML file (with ``_BASE_`` inheritance) and then a flat override list of
+    alternating dotted keys and values.
+
+    Examples:
+        >>> _C = Config("config.yaml", ["OPTIM.BATCH_SIZE", 1024])
+        >>> _C.OPTIM.BATCH_SIZE
+        1024
+    """
+
+    def __init__(
+        self,
+        config_file: Optional[str] = None,
+        override_list: Optional[List[Any]] = None,
+    ):
+        _C = _default_config()
+        if config_file is not None:
+            _C.merge_from_file(config_file)
+        _C.merge_from_list(list(override_list or []))
+
+        # Derived param: decoding length tracks caption length unless the
+        # user explicitly overrode it (reference config.py:161-162 derives it
+        # from MAX_CAPTION_LENGTH at construction time).
+        explicitly_set = _was_key_set(config_file, override_list, "MODEL.DECODER.MAX_DECODING_STEPS")
+        if not explicitly_set:
+            _C.MODEL.DECODER.MAX_DECODING_STEPS = _C.DATA.MAX_CAPTION_LENGTH
+
+        _C.freeze()
+        object.__setattr__(self, "_C", _C)
+
+    def dump(self, file_path: str) -> None:
+        with open(file_path, "w") as f:
+            self._C.dump(stream=f)
+
+    def __getattr__(self, attr: str) -> Any:
+        return getattr(object.__getattribute__(self, "_C"), attr)
+
+    def __setattr__(self, attr: str, value: Any) -> None:
+        raise AttributeError("Config object is immutable.")
+
+    def __str__(self) -> str:
+        return str(self._C)
+
+    def __repr__(self) -> str:
+        return repr(self._C)
+
+
+def _was_key_set(config_file, override_list, dotted: str) -> bool:
+    if override_list and dotted in [str(k) for k in list(override_list)[0::2]]:
+        return True
+    if config_file:
+        node: Any = _load_yaml_with_base(config_file)
+        for part in dotted.split("."):
+            if not isinstance(node, (dict, CfgNode)) or part not in node:
+                return False
+            node = node[part]
+        return True
+    return False

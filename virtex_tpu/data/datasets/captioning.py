@@ -1,0 +1,104 @@
+r"""
+Captioning pretraining dataset: image-caption (forward and backward) pairs.
+
+Behavioral equivalent of reference ``virtex/data/datasets/captioning.py:13-100``,
+restructured TPU-first:
+
+- images stay **HWC** (batches are NHWC — the native TPU conv layout);
+- captions are padded to the *static* ``max_caption_length`` at collate time
+  (the reference pads to the longest-in-batch, a dynamic shape XLA would
+  recompile for);
+- every random choice flows through an explicit ``numpy.random.RandomState``.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from virtex_tpu.data.readers import CocoCaptionsReader
+from virtex_tpu.data.tokenizers import SentencePieceBPETokenizer
+from virtex_tpu.data.transforms import Compose, default_image_transform
+
+
+class CaptioningDataset:
+    r"""
+    Provides ``image`` (HWC float32), ``caption_tokens``, ``noitpac_tokens``
+    (the reversed tokens consumed by the backward decoder of bicaptioning) and
+    ``caption_lengths``.
+
+    Args:
+        data_root: Path to COCO dataset directory.
+        split: "train" or "val".
+        tokenizer: Maps caption words to integer ids.
+        image_transform: Paired (image, caption) transform pipeline.
+        max_caption_length: Tokens beyond this are trimmed from the right.
+    """
+
+    def __init__(
+        self,
+        data_root: str,
+        split: str,
+        tokenizer: SentencePieceBPETokenizer,
+        image_transform: Optional[Compose] = None,
+        max_caption_length: int = 30,
+    ):
+        self._dset = CocoCaptionsReader(data_root, split)
+        self.tokenizer = tokenizer
+        self.image_transform = image_transform or default_image_transform()
+        self.max_caption_length = max_caption_length
+
+        self.padding_idx = tokenizer.token_to_id("<unk>")
+        self.sos_id = tokenizer.token_to_id("[SOS]")
+        self.eos_id = tokenizer.token_to_id("[EOS]")
+
+    def __len__(self) -> int:
+        return len(self._dset)
+
+    def __getitem__(
+        self, idx: int, rng: Optional[np.random.RandomState] = None
+    ) -> Dict[str, np.ndarray]:
+        rng = rng or np.random
+        instance = self._dset[idx]
+        image_id, image, captions = (
+            instance["image_id"],
+            instance["image"],
+            instance["captions"],
+        )
+        # One random caption per epoch (reference captioning.py:60).
+        caption = captions[rng.randint(len(captions))]
+
+        image, caption = self.image_transform(image, caption, rng)
+
+        tokens = [self.sos_id, *self.tokenizer.encode(caption), self.eos_id]
+        tokens = tokens[: self.max_caption_length]
+        return {
+            "image_id": np.asarray(image_id, dtype=np.int32),
+            "image": np.asarray(image, dtype=np.float32),
+            "caption_tokens": np.asarray(tokens, dtype=np.int32),
+            "noitpac_tokens": np.asarray(tokens[::-1], dtype=np.int32),
+            "caption_lengths": np.asarray(len(tokens), dtype=np.int32),
+        }
+
+    def collate_fn(self, data: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        T = self.max_caption_length
+        return {
+            "image_id": np.stack([d["image_id"] for d in data]),
+            "image": np.stack([d["image"] for d in data]),
+            "caption_tokens": pad_stack(
+                [d["caption_tokens"] for d in data], T, self.padding_idx
+            ),
+            "noitpac_tokens": pad_stack(
+                [d["noitpac_tokens"] for d in data], T, self.padding_idx
+            ),
+            "caption_lengths": np.stack([d["caption_lengths"] for d in data]),
+        }
+
+
+def pad_stack(seqs: List[np.ndarray], length: int, pad_value: int) -> np.ndarray:
+    """Right-pad 1-D int sequences to a fixed static length and stack."""
+    out = np.full((len(seqs), length), pad_value, dtype=np.int32)
+    for i, s in enumerate(seqs):
+        n = min(len(s), length)
+        out[i, :n] = s[:n]
+    return out

@@ -1,0 +1,142 @@
+r"""
+Classification pretraining datasets.
+
+- :class:`TokenClassificationDataset`: treats the (unordered) set of caption
+  tokens as a labelset (reference
+  ``virtex/data/datasets/classification.py:19-94``).
+- :class:`MultiLabelClassificationDataset`: labelsets from COCO instance
+  annotations, category ids remapped to a contiguous 1..80 with 0 reserved as
+  background/padding; images with no labels are dropped (reference
+  ``classification.py:97-189``).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from virtex_tpu.data.datasets.captioning import pad_stack
+from virtex_tpu.data.readers import CocoCaptionsReader, read_image_rgb
+from virtex_tpu.data.tokenizers import SentencePieceBPETokenizer
+from virtex_tpu.data.transforms import Compose, default_image_transform
+
+
+class TokenClassificationDataset:
+    def __init__(
+        self,
+        data_root: str,
+        split: str,
+        tokenizer: SentencePieceBPETokenizer,
+        image_transform: Optional[Compose] = None,
+        max_caption_length: int = 30,
+    ):
+        self._dset = CocoCaptionsReader(data_root, split)
+        self.tokenizer = tokenizer
+        self.image_transform = image_transform or default_image_transform()
+        self.max_caption_length = max_caption_length
+
+        self.padding_idx = tokenizer.token_to_id("<unk>")
+        self.sos_id = tokenizer.token_to_id("[SOS]")
+        self.eos_id = tokenizer.token_to_id("[EOS]")
+
+    def __len__(self) -> int:
+        return len(self._dset)
+
+    def __getitem__(
+        self, idx: int, rng: Optional[np.random.RandomState] = None
+    ) -> Dict[str, np.ndarray]:
+        rng = rng or np.random
+        instance = self._dset[idx]
+        image_id, image, captions = (
+            instance["image_id"],
+            instance["image"],
+            instance["captions"],
+        )
+        caption = captions[rng.randint(len(captions))]
+        image, caption = self.image_transform(image, caption, rng)
+
+        tokens = [self.sos_id, *self.tokenizer.encode(caption), self.eos_id]
+        tokens = tokens[: self.max_caption_length]
+        return {
+            "image_id": np.asarray(image_id, dtype=np.int32),
+            "image": np.asarray(image, dtype=np.float32),
+            "labels": np.asarray(tokens, dtype=np.int32),
+        }
+
+    def collate_fn(self, data: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        return {
+            "image_id": np.stack([d["image_id"] for d in data]),
+            "image": np.stack([d["image"] for d in data]),
+            "labels": pad_stack(
+                [d["labels"] for d in data], self.max_caption_length, self.padding_idx
+            ),
+        }
+
+
+class MultiLabelClassificationDataset:
+    # Static labelset width for fixed-shape batches: COCO images have at most
+    # 80 distinct instance categories.
+    MAX_LABELS = 80
+
+    def __init__(
+        self,
+        data_root: str,
+        split: str,
+        image_transform: Optional[Compose] = None,
+    ):
+        self.image_transform = image_transform or default_image_transform()
+
+        image_filenames = glob.glob(os.path.join(data_root, f"{split}2017", "*.jpg"))
+        self.id_filename: List[Tuple[int, str]] = [
+            (int(os.path.basename(name)[:-4]), name) for name in image_filenames
+        ]
+        with open(
+            os.path.join(data_root, "annotations", f"instances_{split}2017.json")
+        ) as f:
+            _annotations = json.load(f)
+
+        # Remap COCO category ids (sparse 1-90) to contiguous 1..80; 0 is
+        # reserved for background / padding.
+        _category_ids = {
+            ann["id"]: index + 1
+            for index, ann in enumerate(_annotations["categories"])
+        }
+        labels: Dict[int, List[int]] = defaultdict(list)
+        for ann in _annotations["annotations"]:
+            labels[ann["image_id"]].append(_category_ids[ann["category_id"]])
+
+        self._labels = {
+            _id: sorted(set(lbl)) for _id, lbl in labels.items() if len(lbl) > 0
+        }
+        self.id_filename = [t for t in self.id_filename if t[0] in self._labels]
+        self.padding_idx = 0
+
+    def __len__(self) -> int:
+        return len(self.id_filename)
+
+    def __getitem__(
+        self, idx: int, rng: Optional[np.random.RandomState] = None
+    ) -> Dict[str, np.ndarray]:
+        rng = rng or np.random
+        image_id, filename = self.id_filename[idx]
+        image = read_image_rgb(filename)
+        image, _ = self.image_transform(image, None, rng)
+        labels = self._labels[image_id]
+        return {
+            "image_id": np.asarray(image_id, dtype=np.int32),
+            "image": np.asarray(image, dtype=np.float32),
+            "labels": np.asarray(labels, dtype=np.int32),
+        }
+
+    def collate_fn(self, data: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        return {
+            "image_id": np.stack([d["image_id"] for d in data]),
+            "image": np.stack([d["image"] for d in data]),
+            "labels": pad_stack(
+                [d["labels"] for d in data], self.MAX_LABELS, self.padding_idx
+            ),
+        }

@@ -1,0 +1,112 @@
+r"""
+BPE tokenizer with a SentencePiece-style interface.
+
+The reference wraps the SentencePiece C++ library
+(``virtex/data/tokenizers.py:6-58``); this build produces the same *behavioral
+contract* — a 10k BPE vocabulary over lowercased, accent-stripped COCO
+captions with special tokens ``<unk>``=0 (doubles as padding), ``[SOS]``=1,
+``[EOS]``=2, ``[MASK]``=3 — on top of the HuggingFace ``tokenizers`` Rust
+core, using a Metaspace pre-tokenizer for SentencePiece-compatible
+whole-word-boundary BPE merges.
+
+The trained model is a single JSON file, loadable from any process (the class
+is pickle-safe for data-loader workers, mirroring
+``tokenizers.py:23-36``).
+"""
+from __future__ import annotations
+
+import os
+import unicodedata
+from typing import Any, Dict, Iterable, List
+
+from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+SPECIAL_TOKENS = ["<unk>", "[SOS]", "[EOS]", "[MASK]"]
+UNK_INDEX, SOS_INDEX, EOS_INDEX, MASK_INDEX = 0, 1, 2, 3
+
+
+class SentencePieceBPETokenizer:
+    r"""
+    A tokenizer wrapping a BPE model trained by :func:`train_tokenizer`.
+
+    Mirrors the reference API (``virtex/data/tokenizers.py``):
+    ``get_vocab_size`` / ``token_to_id`` / ``id_to_token`` / ``encode`` /
+    ``decode``. ``decode`` skips special tokens.
+
+    Args:
+        model_path: Path to the trained tokenizer JSON file.
+    """
+
+    def __init__(self, model_path: str):
+        self.model_path = model_path
+        self._tok = Tokenizer.from_file(model_path)
+
+    # Pickle safety for multiprocess data loading: serialize only the path.
+    def __getstate__(self) -> Dict[str, Any]:
+        state = self.__dict__.copy()
+        state["_tok"] = None
+        return state
+
+    def __setstate__(self, state: Dict[str, Any]) -> None:
+        self.__dict__ = state
+        self._tok = Tokenizer.from_file(self.model_path)
+
+    def get_vocab_size(self) -> int:
+        return self._tok.get_vocab_size()
+
+    def token_to_id(self, token: str) -> int:
+        tid = self._tok.token_to_id(token)
+        return UNK_INDEX if tid is None else tid
+
+    def id_to_token(self, token_id: int) -> str:
+        tok = self._tok.id_to_token(token_id)
+        return "<unk>" if tok is None else tok
+
+    def encode(self, text: str) -> List[int]:
+        """Convert a (raw) caption into a list of token ids (no SOS/EOS)."""
+        text = preprocess_caption(text)
+        return self._tok.encode(text, add_special_tokens=False).ids
+
+    def decode(self, token_ids: Iterable[int]) -> str:
+        """Convert token ids back into a caption, skipping special tokens."""
+        ids = [int(t) for t in token_ids if int(t) > MASK_INDEX]
+        return self._tok.decode(ids, skip_special_tokens=True).strip()
+
+
+def preprocess_caption(text: str, lower: bool = True, strip_accents: bool = True) -> str:
+    """Lowercase + NFKD accent-strip, matching the reference's caption
+    preprocessing (``virtex/data/datasets/coco_captions.py:33-37`` and
+    ``scripts/build_vocabulary.py:57-63``)."""
+    if lower:
+        text = text.lower()
+    if strip_accents:
+        text = unicodedata.normalize("NFKD", text)
+        text = "".join(c for c in text if not unicodedata.combining(c))
+    return text
+
+
+def train_tokenizer(
+    captions: Iterable[str],
+    output_path: str,
+    vocab_size: int = 10000,
+    lower: bool = True,
+    strip_accents: bool = True,
+) -> "SentencePieceBPETokenizer":
+    """Train a BPE vocabulary over captions and serialize it to
+    ``output_path``. Equivalent of the reference's SentencePiece training
+    (``scripts/build_vocabulary.py:86-96``): vocab 10000, full character
+    coverage, control symbols [SOS]/[EOS]/[MASK], ``<unk>`` at index 0
+    doubling as padding."""
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
+    tok.decoder = decoders.Metaspace(replacement="▁")
+    trainer = trainers.BpeTrainer(
+        vocab_size=vocab_size,
+        special_tokens=SPECIAL_TOKENS,
+        show_progress=False,
+    )
+    corpus = [preprocess_caption(c, lower, strip_accents) for c in captions]
+    tok.train_from_iterator(corpus, trainer=trainer)
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    tok.save(output_path)
+    return SentencePieceBPETokenizer(output_path)
