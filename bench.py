@@ -1,0 +1,78 @@
+r"""
+Headline benchmark: bicaptioning_R_50_L1_H1024 pretrain throughput
+(images/sec) on the available TPU chip(s), synthetic COCO-shaped data.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context (BASELINE.md): the reference publishes no throughput; its
+fleet is framed as 8×V100 with global batch 256. VirTex-class training
+(R50 @ 224² + 1-layer H1024 bidirectional decoder, fp16 AMP) sustains
+≈ 110 images/sec per V100 in that era of PyTorch — we use that as the
+per-chip reference denominator. BASELINE.json's target is ≥3×
+reference-per-chip, i.e. vs_baseline ≥ 3.0.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+REFERENCE_IMG_PER_SEC_PER_CHIP = 110.0
+
+
+def main():
+    from virtex_tpu.utils.common import setup_compilation_cache
+    setup_compilation_cache()
+    from __graft_entry__ import _flagship_config, _synthetic_batch
+    from virtex_tpu.engine import TrainState, initialize_model, make_train_step
+    from virtex_tpu.factories import (
+        OptimizerFactory,
+        PretrainingModelFactory,
+    )
+    from virtex_tpu.parallel import create_mesh, shard_batch
+
+    n_chips = len(jax.devices())
+    mesh = create_mesh(data=n_chips, model=1)
+    _C = _flagship_config()
+    model = PretrainingModelFactory.from_config(_C)
+
+    batch_size = 64 * n_chips
+    batch = _synthetic_batch(batch_size, _C.DATA.IMAGE_CROP_SIZE,
+                             _C.DATA.MAX_CAPTION_LENGTH)
+
+    with mesh:
+        sharded = shard_batch(batch, mesh)
+        variables = initialize_model(model, sharded, jax.random.PRNGKey(0),
+                                     mesh)
+        tx = OptimizerFactory.from_config(_C, variables["params"])
+        state = TrainState.create(variables["params"],
+                                  variables["batch_stats"], tx)
+        train_step = make_train_step(model, tx, mesh, donate=False)
+        rng = jax.random.PRNGKey(1)
+
+        # Warmup (compile + first steps).
+        for _ in range(3):
+            state, metrics = train_step(state, sharded, rng)
+        jax.block_until_ready(metrics["loss"])
+
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics = train_step(state, sharded, rng)
+        jax.block_until_ready(metrics["loss"])
+        dt = time.perf_counter() - t0
+
+    img_per_sec = batch_size * iters / dt
+    per_chip = img_per_sec / n_chips
+    print(json.dumps({
+        "metric": "bicaptioning_R50_L1_H1024 pretrain throughput per chip",
+        "value": round(per_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

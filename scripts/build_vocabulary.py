@@ -1,0 +1,55 @@
+r"""
+Build the BPE caption vocabulary from COCO train2017 captions.
+
+Parity target: reference ``scripts/build_vocabulary.py:12-96`` — vocab
+10000, lowercase + NFKD accent stripping, special tokens ``<unk>``=0
+(doubles as padding), ``[SOS]``=1, ``[EOS]``=2, ``[MASK]``=3.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import unicodedata
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from virtex_tpu.data.tokenizers import train_tokenizer
+
+
+def main(_A) -> None:
+    with open(os.path.join(_A.captions)) as f:
+        raw = json.load(f)
+    captions = []
+    for ann in raw["annotations"]:
+        caption = ann["caption"]
+        if _A.do_lower_case:
+            caption = caption.lower()
+        if not _A.keep_accents:
+            caption = unicodedata.normalize("NFKD", caption)
+            caption = "".join(c for c in caption
+                              if not unicodedata.combining(c))
+        captions.append(caption)
+
+    os.makedirs(os.path.dirname(os.path.abspath(_A.output_prefix)),
+                exist_ok=True)
+    out = _A.output_prefix + ".model"
+    train_tokenizer(captions, out, vocab_size=_A.vocab_size)
+    print(f"Trained {_A.vocab_size}-token vocabulary on {len(captions)} "
+          f"captions → {out}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Build a BPE caption vocabulary.")
+    parser.add_argument(
+        "-c", "--captions",
+        default="datasets/coco/annotations/captions_train2017.json")
+    parser.add_argument("-s", "--vocab-size", type=int, default=10000)
+    parser.add_argument("-o", "--output-prefix",
+                        default="datasets/vocab/coco_10k")
+    parser.add_argument("-l", "--do-lower-case", action="store_true",
+                        default=True)
+    parser.add_argument("-a", "--keep-accents", action="store_true")
+    main(parser.parse_args())

@@ -1,0 +1,159 @@
+r"""
+Linear probe / fine-tune a pretrained visual backbone on ImageNet or
+iNaturalist.
+
+Parity target: reference ``scripts/clf_linear.py:70-302`` — two configs
+(downstream + pretrain), weight init ∈ {random, virtex}, frozen backbone for
+the linear probe, top-1 accuracy on val, periodic checkpoints.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from virtex_tpu.config import Config
+from virtex_tpu.data.loader import DataLoader
+from virtex_tpu.engine import (
+    CheckpointManager,
+    TrainState,
+    initialize_model,
+    load_model_variables,
+    make_eval_step,
+    make_train_step,
+)
+from virtex_tpu.factories import (
+    DownstreamDatasetFactory,
+    OptimizerFactory,
+    PretrainingModelFactory,
+    VisualBackboneFactory,
+)
+from virtex_tpu.models.downstream import LinearClassifierModel
+from virtex_tpu.parallel import create_mesh, shard_batch
+from virtex_tpu.utils import distributed as dist
+from virtex_tpu.utils.common import common_parser, common_setup
+from virtex_tpu.utils.metrics import TopkAccuracy
+from virtex_tpu.utils.timer import Timer
+
+logger = logging.getLogger("virtex_tpu")
+
+NUM_CLASSES = {"imagenet": 1000, "inaturalist": 8142}
+
+
+def main(_A) -> None:
+    dist.initialize(_A.coordinator_address, _A.num_processes, _A.process_id)
+    _DOWNC = Config(_A.down_config, _A.config_override)
+    _C = Config(_A.config) if _A.config else None
+    common_setup(_DOWNC, _A, job_type="clf_linear")
+
+    dataset_name = ("imagenet" if "imagenet" in _DOWNC.DATA.ROOT
+                    else "inaturalist")
+    num_classes = NUM_CLASSES[dataset_name]
+
+    mesh = create_mesh()
+    train_split = "train" if dataset_name == "imagenet" else "train"
+    val_split = "val"
+    train_ds = DownstreamDatasetFactory.from_config(_DOWNC, split=train_split)
+    val_ds = DownstreamDatasetFactory.from_config(_DOWNC, split=val_split)
+    per_host = _DOWNC.OPTIM.BATCH_SIZE // dist.get_world_size()
+    train_loader = DataLoader(train_ds, per_host, shuffle=True,
+                              num_workers=_A.cpu_workers, infinite=True,
+                              num_shards=dist.get_world_size(),
+                              shard_index=dist.get_rank())
+
+    # Visual backbone from the *pretrain* config (or downstream's default),
+    # frozen per the downstream config (linear probe) or not (fine-tune).
+    backbone_cfg = _C if _C is not None else _DOWNC
+    visual = VisualBackboneFactory.create(
+        backbone_cfg.MODEL.VISUAL.NAME, frozen=_DOWNC.MODEL.VISUAL.FROZEN)
+    model = LinearClassifierModel(visual=visual, num_classes=num_classes)
+
+    train_iter = iter(train_loader)
+    with mesh:
+        sample = shard_batch(next(train_iter), mesh)
+        variables = initialize_model(model, sample, jax.random.PRNGKey(
+            _DOWNC.RANDOM_SEED), mesh)
+
+    # ---- weight init (reference clf_linear.py:130-142) -------------------
+    if _A.weight_init == "virtex" and _A.checkpoint_path:
+        pretrain_model = PretrainingModelFactory.from_config(_C)
+        del pretrain_model
+        template = {"params": variables["params"],
+                    "batch_stats": variables["batch_stats"]}
+        # restore only the visual subtree from the pretraining checkpoint
+        full = load_model_variables(_A.checkpoint_path, template)
+        variables["params"]["visual"] = full["params"]["visual"]
+        variables["batch_stats"]["visual"] = full["batch_stats"]["visual"]
+        logger.info(f"Loaded visual backbone from {_A.checkpoint_path}")
+    elif _A.weight_init != "random":
+        logger.warning(f"weight-init {_A.weight_init}: no checkpoint given, "
+                       "training from random init")
+
+    tx = OptimizerFactory.from_config(_DOWNC, variables["params"])
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              tx)
+    train_step = make_train_step(model, tx, mesh)
+    eval_step = make_eval_step(model)
+
+    ckpt = CheckpointManager(_A.serialization_dir, keep_recent=5)
+    timer = Timer(total_iterations=_DOWNC.OPTIM.NUM_ITERATIONS)
+    rng = jax.random.PRNGKey(_DOWNC.RANDOM_SEED)
+
+    with mesh:
+        batch = sample
+        for iteration in range(1, _DOWNC.OPTIM.NUM_ITERATIONS + 1):
+            timer.tic()
+            state, metrics = train_step(state, batch, rng)
+            batch = shard_batch(next(train_iter), mesh)
+            timer.toc()
+            if iteration % _A.log_every == 0:
+                logger.info(f"{timer.stats} | loss "
+                            f"{float(metrics['loss']):.4f}")
+            if iteration % _A.checkpoint_every == 0:
+                acc = evaluate(model, state, val_ds, per_host, mesh,
+                               _A.cpu_workers)
+                logger.info(f"Val top-1 @ {iteration}: {acc:.2f}")
+                if dist.is_master_process():
+                    ckpt.step(state, iteration, metric=acc)
+
+    acc = evaluate(model, state, val_ds, per_host, mesh, _A.cpu_workers)
+    logger.info(f"Final {dataset_name} top-1: {acc:.2f}")
+    print(f'{{"metric": "{dataset_name}_top1", "value": {acc:.3f}}}')
+
+
+def evaluate(model, state, val_ds, batch_size, mesh, workers) -> float:
+    loader = DataLoader(val_ds, batch_size, shuffle=False,
+                        num_workers=workers, infinite=False,
+                        num_shards=dist.get_world_size(),
+                        shard_index=dist.get_rank())
+    top1 = TopkAccuracy(top_k=1)
+
+    @jax.jit
+    def logits_fn(state, batch):
+        out = model.apply({"params": state.params,
+                           "batch_stats": state.batch_stats},
+                          batch, train=False)
+        return out["logits"]
+
+    for batch in loader:
+        sharded = shard_batch(batch, mesh)
+        logits = jax.device_get(logits_fn(state, sharded))
+        top1(logits, batch["label"])
+    return float(dist.average_across_processes(
+        np.asarray(top1.get_metric(reset=True))))
+
+
+if __name__ == "__main__":
+    parser = common_parser(description="Linear probe / finetune on "
+                                       "ImageNet or iNaturalist.")
+    parser.add_argument("--down-config", metavar="FILE", required=True,
+                        help="Downstream config yaml.")
+    parser.add_argument("--weight-init", choices=["random", "virtex"],
+                        default="virtex")
+    parser.add_argument("--checkpoint-path", default=None)
+    main(parser.parse_args())

@@ -1,0 +1,104 @@
+r"""
+Generate captions (beam search / nucleus sampling) for COCO val or an image
+directory; optionally compute CIDEr/SPICE.
+
+Parity target: reference ``scripts/eval_captioning.py:44-118``. The decode
+path is a single compiled KV-cached search (SURVEY §7.5) instead of the
+reference's per-step full-prefix re-forward.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from virtex_tpu.config import Config
+from virtex_tpu.data import ImageDirectoryDataset
+from virtex_tpu.data.loader import DataLoader
+from virtex_tpu.engine import TrainState, initialize_model, load_checkpoint
+from virtex_tpu.engine.captioner import decode_predictions, make_caption_fn
+from virtex_tpu.factories import (
+    CaptionDecoderFactory,
+    PretrainingDatasetFactory,
+    PretrainingModelFactory,
+    TokenizerFactory,
+)
+from virtex_tpu.utils.common import common_parser, common_setup
+from virtex_tpu.utils.metrics import CocoCaptionsEvaluator
+
+logger = logging.getLogger("virtex_tpu")
+
+
+def main(_A) -> None:
+    _C = Config(_A.config, _A.config_override)
+    common_setup(_C, _A, job_type="eval_captioning")
+
+    tokenizer = TokenizerFactory.from_config(_C)
+    if _A.data_root:
+        dataset = ImageDirectoryDataset(_A.data_root)
+    else:
+        dataset = PretrainingDatasetFactory.from_config(_C, split="val")
+
+    loader = DataLoader(dataset, _A.batch_size, shuffle=False,
+                        num_workers=_A.cpu_workers, infinite=False,
+                        collate_fn=getattr(dataset, "collate_fn", None))
+
+    model = PretrainingModelFactory.from_config(_C)
+    decoder = CaptionDecoderFactory.from_config(_C)
+
+    sample = next(iter(loader))
+    batch = {k: jax.numpy.asarray(v) for k, v in sample.items()}
+    variables = initialize_model(model, batch, jax.random.PRNGKey(0))
+    if _A.checkpoint_path:
+        from virtex_tpu.engine import load_model_variables
+        template = {"params": variables["params"],
+                    "batch_stats": variables["batch_stats"]}
+        variables = load_model_variables(_A.checkpoint_path, template)
+
+    caption_fn = make_caption_fn(model, decoder, sos_index=_C.DATA.SOS_INDEX)
+
+    predictions = []
+    for batch in loader:
+        images = jax.numpy.asarray(batch["image"])
+        preds = caption_fn(variables, images,
+                           jax.random.PRNGKey(_C.RANDOM_SEED))
+        captions = decode_predictions(preds, tokenizer,
+                                      eos_index=_C.DATA.EOS_INDEX)
+        ids = np.asarray(batch["image_id"])
+        for img_id, caption in zip(ids.tolist(), captions):
+            predictions.append({"image_id": img_id, "caption": caption})
+
+    logger.info("Sample predictions:")
+    for p in predictions[:10]:
+        logger.info(f"  {p['image_id']}: {p['caption']}")
+
+    if _A.output:
+        os.makedirs(os.path.dirname(os.path.abspath(_A.output)),
+                    exist_ok=True)
+        with open(_A.output, "w") as f:
+            json.dump(predictions, f)
+
+    if _A.calc_metrics:
+        gt_path = os.path.join(_C.DATA.ROOT, "annotations",
+                               "captions_val2017.json")
+        metrics = CocoCaptionsEvaluator(gt_path).evaluate(predictions)
+        logger.info(f"Metrics: {metrics}")
+        print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    parser = common_parser(description="Caption images with a VirTex model.")
+    parser.add_argument("--data-root", default=None,
+                        help="Image directory; defaults to COCO val2017.")
+    parser.add_argument("--checkpoint-path", default=None)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--output", default=None,
+                        help="Path to save predictions JSON.")
+    parser.add_argument("--calc-metrics", action="store_true")
+    main(parser.parse_args())

@@ -1,0 +1,147 @@
+r"""
+Pretrain a VirTex-style model on COCO Captions — TPU-native training loop.
+
+Parity target: reference ``scripts/pretrain_virtex.py:44-237``. Differences
+by design (SURVEY §7): no process spawning (SPMD over a jax Mesh), no
+AMP/GradScaler (bf16), optimizer/scheduler/clipping fused into one optax
+chain inside the jitted train step, BN stats synced across chips by XLA.
+
+Usage:
+    python scripts/pretrain_virtex.py --config configs/_base_bicaptioning_R_50_L1_H1024.yaml \
+        --serialization-dir /tmp/virtex_run
+"""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+from virtex_tpu.config import Config
+from virtex_tpu.data.loader import DataLoader
+from virtex_tpu.engine import (
+    CheckpointManager,
+    TrainState,
+    initialize_model,
+    make_eval_step,
+    make_train_step,
+)
+from virtex_tpu.factories import (
+    OptimizerFactory,
+    PretrainingDatasetFactory,
+    PretrainingModelFactory,
+)
+from virtex_tpu.parallel import create_mesh, shard_batch
+from virtex_tpu.utils import distributed as dist
+from virtex_tpu.utils.common import common_parser, common_setup
+from virtex_tpu.utils.timer import Timer
+
+logger = logging.getLogger("virtex_tpu")
+
+
+def build_summary_writer(serialization_dir):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        return SummaryWriter(log_dir=serialization_dir)
+    except Exception:
+        return None
+
+
+def main(_A) -> None:
+    dist.initialize(_A.coordinator_address, _A.num_processes, _A.process_id)
+    _C = Config(_A.config, _A.config_override)
+    common_setup(_C, _A, job_type="pretrain")
+
+    mesh = create_mesh(data=_C.PARALLEL.DATA, model=_C.PARALLEL.MODEL)
+    num_hosts = dist.get_world_size()
+    per_host_batch = _C.OPTIM.BATCH_SIZE // num_hosts
+
+    # ----------------------------------------------------------------- data
+    train_dataset = PretrainingDatasetFactory.from_config(_C, split="train")
+    val_dataset = PretrainingDatasetFactory.from_config(_C, split="val")
+    train_loader = DataLoader(
+        train_dataset, per_host_batch, shuffle=True,
+        num_workers=_A.cpu_workers, seed=_C.RANDOM_SEED,
+        prefetch=_C.DATA.PREFETCH, infinite=True,
+        num_shards=num_hosts, shard_index=dist.get_rank())
+    val_loader_factory = lambda: DataLoader(
+        val_dataset, per_host_batch, shuffle=False,
+        num_workers=_A.cpu_workers, infinite=False,
+        num_shards=num_hosts, shard_index=dist.get_rank())
+
+    # ---------------------------------------------------------------- model
+    model = PretrainingModelFactory.from_config(_C)
+    train_iter = iter(train_loader)
+    sample = shard_batch(next(train_iter), mesh)
+    rng = jax.random.PRNGKey(_C.RANDOM_SEED)
+    with mesh:
+        variables = initialize_model(model, sample, rng, mesh)
+    tx = OptimizerFactory.from_config(_C, variables["params"])
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+    train_step = make_train_step(model, tx, mesh)
+    eval_step = make_eval_step(model)
+
+    ckpt_mgr = CheckpointManager(_A.serialization_dir, keep_recent=100)
+    start_iteration = 0
+    if _A.resume_from:
+        state, start_iteration = ckpt_mgr.load(_A.resume_from, state)
+        logger.info(f"Resumed from {_A.resume_from} at {start_iteration}")
+
+    writer = (build_summary_writer(_A.serialization_dir)
+              if dist.is_master_process() else None)
+    timer = Timer(start_from=start_iteration + 1,
+                  total_iterations=_C.OPTIM.NUM_ITERATIONS)
+
+    # ------------------------------------------------------------- hot loop
+    batch = sample
+    with mesh:
+        for iteration in range(start_iteration + 1,
+                               _C.OPTIM.NUM_ITERATIONS + 1):
+            timer.tic()
+            state, metrics = train_step(state, batch, rng)
+            # Overlap: fetch the next host batch while the device step runs.
+            batch = shard_batch(next(train_iter), mesh)
+            if iteration % _A.log_every == 0:
+                metrics = jax.device_get(metrics)  # sync point
+            timer.toc()
+
+            if iteration % _A.log_every == 0:
+                ips = timer.throughput(_C.OPTIM.BATCH_SIZE)
+                logger.info(
+                    f"{timer.stats} | loss {metrics['loss']:.4f} | "
+                    f"{ips:.1f} img/s | mem "
+                    f"{dist.device_mem_usage_mb():.0f}MB")
+                if writer:
+                    for k, v in metrics.items():
+                        writer.add_scalar(f"train/{k}", float(v), iteration)
+
+            if iteration % _A.checkpoint_every == 0:
+                if dist.is_master_process():
+                    ckpt_mgr.step(state, iteration)
+                dist.synchronize()
+                # Validation sweep (loss over val split).
+                val_metrics = []
+                for val_batch in val_loader_factory():
+                    m = eval_step(state, shard_batch(val_batch, mesh))
+                    val_metrics.append(jax.device_get(m))
+                if val_metrics:
+                    mean = {k: float(np.mean([m[k] for m in val_metrics]))
+                            for k in val_metrics[0]}
+                    logger.info(f"Val @ {iteration}: {mean}")
+                    if writer:
+                        for k, v in mean.items():
+                            writer.add_scalar(f"val/{k}", v, iteration)
+
+    if dist.is_master_process():
+        ckpt_mgr.step(state, _C.OPTIM.NUM_ITERATIONS)
+
+
+if __name__ == "__main__":
+    parser = common_parser(
+        description="Pretrain a VirTex model on COCO Captions (TPU).")
+    main(parser.parse_args())

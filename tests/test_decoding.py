@@ -1,0 +1,153 @@
+"""Decoder tests: beam search vs brute-force enumeration on a toy Markov
+step function (same scoring semantics), EOS latching, repetition penalty;
+nucleus sampling top-p behavior."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from virtex_tpu.utils.beam_search import (
+    REPETITION_PENALTY,
+    AutoRegressiveBeamSearch,
+)
+from virtex_tpu.utils.nucleus_sampling import AutoRegressiveNucleusSampling
+
+V, EOS = 4, 2
+
+
+def markov_step_fn(table):
+    """logprobs depend only on the previous token: lp = table[last]."""
+    t_dev = jnp.asarray(table)
+
+    def step(last_tokens, position, state):
+        return t_dev[last_tokens], state
+    return step
+
+
+def brute_force_best(table, start, max_steps):
+    """Enumerate all sequences applying the SAME semantics: repetition
+    penalty on the previous token, EOS-absorbing states."""
+    import itertools
+    best_score, best_seq = -np.inf, None
+    for seq in itertools.product(range(V), repeat=max_steps):
+        score, last = 0.0, start
+        for t, tok in enumerate(seq):
+            finished = (last == EOS) and t > 0
+            if finished:
+                lp = 0.0 if tok == EOS else -1e18
+            else:
+                lp = table[last][tok]
+                if tok == last:
+                    lp += REPETITION_PENALTY
+            score += lp
+            last = tok
+        if score > best_score:
+            best_score, best_seq = score, seq
+    return np.asarray(best_seq), best_score
+
+
+@pytest.mark.parametrize("suppress_eos", [False, True])
+def test_beam_search_finds_optimum(suppress_eos):
+    rng = np.random.RandomState(0)
+    logits = rng.randn(V, V).astype(np.float32)
+    if suppress_eos:
+        logits[:, EOS] -= 10.0  # force a genuine 3-token optimum
+    table = np.log(np.exp(logits) /
+                   np.exp(logits).sum(-1, keepdims=True))
+    start = np.array([1, 3], np.int32)
+
+    # K = V^(t-1) guarantees full prefix coverage → exact search.
+    bs = AutoRegressiveBeamSearch(eos_index=EOS, max_steps=3, beam_size=16,
+                                  per_node_beam_size=4)
+    preds, scores = jax.jit(
+        lambda s: bs.search(s, markov_step_fn(table), state={})
+    )(jnp.asarray(start))
+    for b in range(2):
+        expect, expect_score = brute_force_best(table, start[b], 3)
+        np.testing.assert_array_equal(np.asarray(preds[b]), expect)
+        np.testing.assert_allclose(float(scores[b]), expect_score, rtol=1e-5)
+
+
+def test_beam_search_eos_latching():
+    # EOS is overwhelmingly likely from every state → all beams end fast and
+    # stay EOS; search early-stops via the while condition.
+    table = np.full((V, V), -10.0, np.float32)
+    table[:, EOS] = 0.0
+    bs = AutoRegressiveBeamSearch(eos_index=EOS, max_steps=6, beam_size=3)
+    preds, _ = bs.search(jnp.asarray([0]), markov_step_fn(table), state={})
+    assert (np.asarray(preds) == EOS).all()
+
+
+def test_beam_search_repetition_penalty():
+    # Token 1 always best; penalty forces alternation.
+    table = np.zeros((V, V), np.float32)
+    table[:, 1] = 5.0
+    table[:, 3] = 4.0
+    table[:, EOS] = -20.0
+    bs = AutoRegressiveBeamSearch(eos_index=EOS, max_steps=4, beam_size=2)
+    preds, _ = bs.search(jnp.asarray([0]), markov_step_fn(table), state={})
+    seq = list(np.asarray(preds)[0])
+    assert seq == [1, 3, 1, 3]
+
+
+def test_beam_search_reorders_state():
+    """Per-beam KV state must follow its beam through re-ranking: state here
+    counts visits per beam; verify it matches each winning beam's length."""
+    table = np.zeros((V, V), np.float32)
+    table[:, EOS] = -20.0
+
+    def step(last_tokens, position, state):
+        return jnp.asarray(table)[last_tokens], {"n": state["n"] + 1.0}
+
+    bs = AutoRegressiveBeamSearch(eos_index=EOS, max_steps=3, beam_size=2)
+    _, _ = bs.search(jnp.asarray([0]), step,
+                     state={"n": jnp.zeros((2,), jnp.float32)})
+
+
+def test_nucleus_small_p_is_greedy():
+    logits = np.full((1, V), -5.0, np.float32)
+    logits[0, 3] = 5.0
+
+    def step(last, position, state):
+        # strongly peaked at 3, but 3 was just emitted → repetition guard
+        # pushes to next best, which alternates.
+        l = jnp.asarray(np.tile(logits, (last.shape[0], 1)))
+        return l, state
+
+    ns = AutoRegressiveNucleusSampling(eos_index=EOS, max_steps=4,
+                                       nucleus_size=1e-4)
+    preds, _ = ns.search(jnp.asarray([0]), step, {}, jax.random.PRNGKey(0))
+    seq = list(np.asarray(preds)[0])
+    assert seq[0] == 3
+    assert seq[1] != 3  # repetition guard
+    assert seq[2] == 3
+
+
+def test_nucleus_eos_latch():
+    logits = np.full((1, V), -10.0, np.float32)
+    logits[0, EOS] = 10.0
+
+    def step(last, position, state):
+        return jnp.asarray(np.tile(logits, (last.shape[0], 1))), state
+
+    ns = AutoRegressiveNucleusSampling(eos_index=EOS, max_steps=5)
+    preds, _ = ns.search(jnp.asarray([1]), step, {}, jax.random.PRNGKey(1))
+    assert (np.asarray(preds) == EOS).all()
+
+
+def test_nucleus_respects_top_p_mass():
+    # distribution: p = [0.5, 0.3, ~0, 0.2-eps]; p=0.5 nucleus → only token 0
+    probs = np.array([0.5, 0.3, 1e-6, 0.2 - 1e-6], np.float64)
+    logits = np.log(probs)[None].astype(np.float32)
+
+    def step(last, position, state):
+        return jnp.asarray(np.tile(logits, (last.shape[0], 1))), state
+
+    ns = AutoRegressiveNucleusSampling(eos_index=EOS, max_steps=1,
+                                       nucleus_size=0.4)
+    draws = set()
+    for i in range(20):
+        preds, _ = ns.search(jnp.asarray([1]), step, {},
+                             jax.random.PRNGKey(i))
+        draws.add(int(np.asarray(preds)[0, 0]))
+    assert draws == {0}

@@ -1,0 +1,111 @@
+"""Engine tests: jitted train step reduces loss (tiny overfit), eval step,
+checkpoint save/resume round-trip, pruning + best tracking."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from virtex_tpu.engine import (
+    CheckpointManager,
+    TrainState,
+    initialize_model,
+    load_checkpoint,
+    make_eval_step,
+    make_train_step,
+)
+from virtex_tpu.models import ForwardCaptioningModel
+from virtex_tpu.modules import ResNetVisualBackbone, TransformerTextualHead
+from virtex_tpu.optim import build_optimizer, make_schedule
+
+VOCAB = 40
+
+
+def tiny_model():
+    return ForwardCaptioningModel(
+        visual=ResNetVisualBackbone("resnet18", dtype=jnp.float32),
+        textual=TransformerTextualHead(
+            visual_feature_size=512, vocab_size=VOCAB, hidden_size=32,
+            num_layers=1, attention_heads=4, feedforward_size=64,
+            dropout=0.0, max_caption_length=8, dtype=jnp.float32))
+
+
+def tiny_batch():
+    rng = np.random.RandomState(0)
+    tokens = rng.randint(4, VOCAB, (4, 6)).astype(np.int32)
+    tokens[:, 0] = 1
+    return {
+        "image": jnp.asarray(rng.rand(4, 32, 32, 3), jnp.float32),
+        "caption_tokens": jnp.asarray(tokens),
+        "noitpac_tokens": jnp.asarray(tokens[:, ::-1].copy()),
+        "caption_lengths": jnp.full((4,), 6, jnp.int32),
+    }
+
+
+@pytest.fixture(scope="module")
+def trained():
+    model = tiny_model()
+    batch = tiny_batch()
+    variables = initialize_model(model, batch, jax.random.PRNGKey(0))
+    tx = build_optimizer(variables["params"], "sgd",
+                         make_schedule("none", 100, 0), lr=0.05, cnn_lr=0.05,
+                         weight_decay=0.0, use_lookahead=True, lookahead_k=5)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    step = make_train_step(model, tx, donate=False)
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for _ in range(12):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    return model, tx, state, batch, losses
+
+
+def test_train_loss_decreases(trained):
+    _, _, state, _, losses = trained
+    assert losses[-1] < losses[0] * 0.9
+    assert int(state.step) == 12
+
+
+def test_eval_step(trained):
+    model, _, state, batch, _ = trained
+    eval_step = make_eval_step(model)
+    metrics = eval_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path, trained):
+    model, tx, state, batch, _ = trained
+    mgr = CheckpointManager(str(tmp_path / "ckpts"), keep_recent=2)
+    mgr.step(state, 12, metric=1.0)
+
+    # fresh template with the same structure
+    variables = initialize_model(model, batch, jax.random.PRNGKey(42))
+    fresh = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    restored, it = mgr.load(mgr.latest(), fresh)
+    assert it == 12
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-6),
+        state.params, restored.params)
+    # eval on restored state gives identical loss
+    eval_step = make_eval_step(model)
+    np.testing.assert_allclose(
+        float(eval_step(state, batch)["loss"]),
+        float(eval_step(restored, batch)["loss"]), rtol=1e-6)
+
+
+def test_checkpoint_prune_and_best(tmp_path, trained):
+    model, tx, state, batch, _ = trained
+    mgr = CheckpointManager(str(tmp_path / "ck2"), keep_recent=2)
+    mgr.step(state, 1, metric=0.5)
+    mgr.step(state, 2, metric=0.9)
+    mgr.step(state, 3, metric=0.7)
+    entries = sorted(os.listdir(str(tmp_path / "ck2")))
+    assert "checkpoint_1" not in entries  # pruned
+    assert {"checkpoint_2", "checkpoint_3", "checkpoint_best"} <= set(entries)
+    assert mgr.best_metric == 0.9
+
+    restored, it = load_checkpoint(
+        str(tmp_path / "ck2" / "checkpoint_best"), state)
+    assert it in (1, 2, 3)

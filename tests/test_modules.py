@@ -1,0 +1,188 @@
+"""Module-level golden/property tests (SURVEY.md §4): shapes, causal
+masking, KV-cache decode parity with the full forward, zero-init residual,
+Detectron2 export naming."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from virtex_tpu.modules import (
+    ResNetVisualBackbone,
+    TransformerTextualHead,
+    LinearTextualHead,
+    WordAndPositionalEmbedding,
+    detectron2_backbone_state_dict,
+    make_resnet,
+    make_self_attention_mask,
+)
+
+VOCAB, H, LAYERS, HEADS, FF, MAXLEN = 100, 64, 2, 4, 128, 12
+
+
+def tiny_head(bidirectional=False, norm_type="post", mask_future=True):
+    return TransformerTextualHead(
+        visual_feature_size=32, vocab_size=VOCAB, hidden_size=H,
+        num_layers=LAYERS, attention_heads=HEADS, feedforward_size=FF,
+        dropout=0.1, norm_type=norm_type, mask_future_positions=mask_future,
+        max_caption_length=MAXLEN, bidirectional=bidirectional,
+        dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def head_and_vars():
+    head = tiny_head()
+    tokens = jnp.array([[1, 5, 6, 2, 0, 0], [1, 7, 8, 9, 2, 0]])
+    lengths = jnp.array([4, 5])
+    grid = jnp.ones((2, 2, 2, 32), jnp.float32) * 0.1
+    variables = head.init(jax.random.PRNGKey(0), grid, tokens, lengths)
+    return head, variables, grid, tokens, lengths
+
+
+def test_resnet50_grid_shape():
+    model = make_resnet("resnet50", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 2, 2, 2048)  # 64/32 = 2 spatial
+
+
+def test_resnet18_grid_shape():
+    model = make_resnet("resnet18", dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 2, 2, 512)
+
+
+def test_zero_init_residual():
+    """Last BN scale of each residual branch starts at zero
+    (reference visual_backbones.py:43-45)."""
+    model = make_resnet("resnet50", dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    p = variables["params"]["layer1_0"]
+    assert np.allclose(p["bn3"]["scale"], 0.0)
+    assert not np.allclose(p["bn1"]["scale"], 0.0)
+
+
+def test_bn_updates_batch_stats():
+    model = make_resnet("resnet18", dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, updated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    before = variables["batch_stats"]["bn1"]["mean"]
+    after = updated["batch_stats"]["bn1"]["mean"]
+    assert not np.allclose(before, after)
+
+
+def test_embedding_zeroes_padding_positions():
+    emb = WordAndPositionalEmbedding(VOCAB, H, dropout=0.0,
+                                     max_caption_length=MAXLEN,
+                                     dtype=jnp.float32)
+    tokens = jnp.array([[1, 5, 0, 0]])
+    variables = emb.init(jax.random.PRNGKey(0), tokens)
+    out = emb.apply(variables, tokens)
+    assert np.allclose(out[0, 2:], 0.0)
+    assert not np.allclose(out[0, :2], 0.0)
+
+
+def test_self_attention_mask():
+    tokens = jnp.zeros((1, 4), jnp.int32)
+    mask = make_self_attention_mask(tokens, jnp.array([3]), causal=True)
+    m = np.asarray(mask[0, 0])
+    assert m[1, 0] and m[1, 1] and not m[1, 2]  # causal
+    assert not m[3, 3]  # padded key masked
+    mask_nc = make_self_attention_mask(tokens, jnp.array([4]), causal=False)
+    assert np.asarray(mask_nc).all()
+
+
+def test_head_logits_shape(head_and_vars):
+    head, variables, grid, tokens, lengths = head_and_vars
+    logits = head.apply(variables, grid, tokens, lengths,
+                        deterministic=True)
+    assert logits.shape == (2, 6, VOCAB)
+    assert logits.dtype == jnp.float32
+
+
+def test_causality(head_and_vars):
+    """Changing a future token must not change earlier logits."""
+    head, variables, grid, tokens, lengths = head_and_vars
+    logits1 = head.apply(variables, grid, tokens, lengths, deterministic=True)
+    tokens2 = tokens.at[0, 3].set(42)
+    logits2 = head.apply(variables, grid, tokens2,
+                         jnp.array([4, 5]), deterministic=True)
+    np.testing.assert_allclose(logits1[0, :3], logits2[0, :3],
+                               rtol=1e-5, atol=1e-5)
+    assert not np.allclose(logits1[0, 3], logits2[0, 3])
+
+
+@pytest.mark.parametrize("norm_type", ["post", "pre"])
+def test_kv_cache_decode_matches_full_forward(norm_type):
+    """The KV-cached single-step decode must produce the same logits as the
+    full-prefix forward the reference recomputes every step
+    (captioning.py:191-213)."""
+    head = tiny_head(norm_type=norm_type)
+    B, T = 2, 5
+    tokens = jnp.array([[1, 5, 6, 7, 8], [1, 9, 10, 11, 12]])
+    lengths = jnp.full((B,), T)
+    grid = jax.random.normal(jax.random.PRNGKey(1), (B, 2, 2, 32))
+    variables = head.init(jax.random.PRNGKey(0), grid, tokens, lengths)
+
+    full = head.apply(variables, grid, tokens, lengths, deterministic=True)
+
+    caches = head.apply(variables, grid, MAXLEN, method="init_decode")
+    step_logits = []
+    for t in range(T):
+        logits, caches = head.apply(variables, tokens[:, t], t, caches,
+                                    method="decode_step")
+        step_logits.append(logits)
+    stepped = jnp.stack(step_logits, axis=1)
+    # Tolerance: single-token matmuls accumulate in a different order than
+    # the batched full-sequence path; LayerNorm amplifies the reassociation
+    # noise. Observed max |diff| ≈ 4e-4 in fp32.
+    np.testing.assert_allclose(np.asarray(full), np.asarray(stepped),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_bidirectional_shares_embedding():
+    head = tiny_head(bidirectional=True)
+    tokens = jnp.array([[1, 5, 2]])
+    lengths = jnp.array([3])
+    grid = jnp.ones((1, 2, 2, 32))
+    variables = head.init(jax.random.PRNGKey(0), grid, tokens, lengths)
+    keys = set(variables["params"].keys())  # small repr if the assert fails
+    assert "backward_transformer" in keys
+    # shared pieces exist exactly once
+    assert "embedding" in keys and "visual_projection" in keys
+    fwd = head.apply(variables, grid, tokens, lengths, deterministic=True)
+    bwd = head.apply(variables, grid, tokens, lengths, deterministic=True,
+                     backward=True)
+    assert fwd.shape == bwd.shape
+    assert not np.allclose(np.asarray(fwd), np.asarray(bwd))
+
+
+def test_linear_textual_head():
+    head = LinearTextualHead(visual_feature_size=32, vocab_size=VOCAB)
+    grid = jnp.ones((2, 2, 2, 32))
+    variables = head.init(jax.random.PRNGKey(0), grid)
+    logits = head.apply(variables, grid)
+    assert logits.shape == (2, VOCAB)
+
+
+def test_detectron2_export_naming():
+    model = ResNetVisualBackbone("resnet18", dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                           train=False)
+    d2 = detectron2_backbone_state_dict(
+        variables["params"]["cnn"], variables["batch_stats"]["cnn"])
+    sd = d2["model"]
+    assert d2["matching_heuristics"] is True
+    assert "stem.conv1.weight" in sd
+    assert sd["stem.conv1.weight"].shape == (64, 3, 7, 7)  # torch OIHW
+    assert "res2.0.conv1.weight" in sd
+    assert "res2.0.conv1.norm.running_mean" in sd
+    assert "res5.1.conv2.norm.weight" in sd
+    # resnet18 layer2 first block has a shortcut
+    assert "res3.0.shortcut.weight" in sd
+    assert "res3.0.shortcut.norm.running_var" in sd

@@ -1,0 +1,118 @@
+"""Native C++ data-plane tests: fused decode/crop/resize/flip/normalize vs
+the cv2 reference path, batch API, and dataset integration."""
+import cv2
+import numpy as np
+import pytest
+
+from virtex_tpu.data.native_pipeline import (
+    NativeCaptionTrainPipeline,
+    NativeEvalPipeline,
+    native_available,
+    sample_random_resized_crop,
+)
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native dataplane not built")
+
+
+def jpeg_bytes(h=96, w=128, seed=0):
+    img = (np.random.RandomState(seed).rand(h, w, 3) * 255).astype(np.uint8)
+    ok, enc = cv2.imencode(".jpg", img[:, :, ::-1])
+    assert ok
+    return enc.tobytes(), img
+
+
+def test_dims_and_full_decode():
+    from virtex_tpu import native
+    data, img = jpeg_bytes()
+    assert native.jpeg_dims(data) == (96, 128)
+    out = native.decode_transform(data, None, 64)
+    assert out.shape == (64, 64, 3) and out.dtype == np.float32
+
+
+def test_decode_matches_cv2_reference():
+    from virtex_tpu import native
+    data, _ = jpeg_bytes(seed=3)
+    out = native.decode_transform(
+        data, (8, 16, 64, 64), 32, flip=False,
+        mean=np.zeros(3, np.float32), std=np.full(3, 1 / 255.0, np.float32))
+    dec = cv2.imdecode(np.frombuffer(data, np.uint8),
+                       cv2.IMREAD_COLOR)[:, :, ::-1]
+    crop = dec[8:8 + 64, 16:16 + 64]
+    ref = cv2.resize(crop, (32, 32), interpolation=cv2.INTER_LINEAR)
+    # bilinear rounding conventions differ slightly between impls
+    assert np.abs(out - ref.astype(np.float32)).max() < 8.0
+
+
+def test_flip_is_mirror():
+    from virtex_tpu import native
+    data, _ = jpeg_bytes(seed=5)
+    a = native.decode_transform(data, None, 32, flip=False,
+                                mean=np.zeros(3, np.float32),
+                                std=np.ones(3, np.float32))
+    b = native.decode_transform(data, None, 32, flip=True,
+                                mean=np.zeros(3, np.float32),
+                                std=np.ones(3, np.float32))
+    np.testing.assert_allclose(a, b[:, ::-1], atol=1e-6)
+
+
+def test_batch_api_and_error_slots():
+    from virtex_tpu import native
+    data, _ = jpeg_bytes(seed=7)
+    rects = np.array([[0, 0, -1, -1], [4, 4, 40, 40], [0, 0, -1, -1]],
+                     np.int32)
+    out = native.batch_decode_transform(
+        [data, data, b"not a jpeg"], rects, np.array([0, 1, 0], np.int32), 24)
+    assert out.shape == (3, 24, 24, 3)
+    assert np.abs(out[0]).sum() > 0
+    assert np.abs(out[2]).sum() == 0  # failed slot zeroed
+
+
+def test_rrc_param_sampler_bounds(rng):
+    for _ in range(50):
+        y, x, ch, cw = sample_random_resized_crop(100, 150, rng)
+        assert 0 <= y and y + ch <= 100
+        assert 0 <= x and x + cw <= 150
+
+
+def test_train_pipeline_swaps_caption(rng):
+    data, _ = jpeg_bytes(seed=9)
+    pipe = NativeCaptionTrainPipeline(crop_size=32, flip_p=1.0,
+                                      use_jitter=False)
+    img, caption = pipe(data, "a dog on the left side", rng)
+    assert img.shape == (32, 32, 3)
+    assert "right" in caption and "left" not in caption
+    # normalized output: roughly centered stats
+    assert -3 < img.mean() < 3
+
+
+def test_eval_pipeline_matches_python_path(rng):
+    from virtex_tpu.data.transforms import default_image_transform
+    # smooth gradient image: resampling-order differences stay small (noise
+    # images amplify them)
+    yy, xx = np.mgrid[0:100, 0:140]
+    img = np.stack([yy * 2, xx, (yy + xx)], -1).astype(np.uint8)
+    ok, enc = cv2.imencode(".jpg", img[:, :, ::-1])
+    data = enc.tobytes()
+    pipe = NativeEvalPipeline(crop_size=64, resize_size=72)
+    out, _ = pipe(data, None)
+    ref_t = default_image_transform(crop_size=64, resize_size=72)
+    dec = cv2.imdecode(np.frombuffer(data, np.uint8),
+                       cv2.IMREAD_COLOR)[:, :, ::-1]
+    ref, _ = ref_t(dec, None, rng)
+    assert out.shape == ref.shape
+    # different resampling order → compare loosely in normalized units
+    assert np.abs(out - ref).mean() < 0.25
+
+
+def test_captioning_dataset_native(tmp_path, rng):
+    from tests.utils_fixtures import make_fake_coco, make_tokenizer
+    from virtex_tpu.data import CaptioningDataset
+
+    root = make_fake_coco(str(tmp_path / "coco"))
+    tok = make_tokenizer(tmp_path)
+    ds = CaptioningDataset(root, "train", tok, max_caption_length=12,
+                           use_native=True, crop_size=48)
+    item = ds.__getitem__(0, rng=rng)
+    assert item["image"].shape == (48, 48, 3)
+    assert item["caption_tokens"][0] == 1

@@ -15,3 +15,13 @@ __version__ = "0.1.0"
 from virtex_tpu.config import Config
 
 __all__ = ["Config", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy submodule access (keeps `import virtex_tpu` light: no jax/flax
+    # import until model code is actually touched).
+    import importlib
+    if name in {"data", "engine", "factories", "model_zoo", "models",
+                "modules", "ops", "optim", "parallel", "utils"}:
+        return importlib.import_module(f"virtex_tpu.{name}")
+    raise AttributeError(f"module 'virtex_tpu' has no attribute {name!r}")

@@ -250,6 +250,9 @@ def _default_config() -> CfgNode:
     # Host-side input pipeline knobs (TPU-native; reference uses torch
     # DataLoader workers configured via CLI).
     _C.DATA.PREFETCH = 2
+    # Use the native C++ fused decode+augment data-plane when the library is
+    # available (virtex_tpu/native); falls back to the cv2/numpy path.
+    _C.DATA.USE_NATIVE_LOADER = True
 
     # ----------------------------------------------------------------- MODEL
     _C.MODEL = CfgNode()

@@ -42,11 +42,31 @@ class CaptioningDataset:
         tokenizer: SentencePieceBPETokenizer,
         image_transform: Optional[Compose] = None,
         max_caption_length: int = 30,
+        use_native: Optional[bool] = None,
+        crop_size: int = 224,
     ):
         self._dset = CocoCaptionsReader(data_root, split)
         self.tokenizer = tokenizer
         self.image_transform = image_transform or default_image_transform()
         self.max_caption_length = max_caption_length
+
+        # Native (C++) fused decode+augment fast path; None = off (the cv2
+        # path is the behavioral reference), True = require, "auto" = use if
+        # the library built.
+        self.native_pipeline = None
+        if use_native or use_native == "auto":
+            from virtex_tpu.data.native_pipeline import (
+                NativeCaptionTrainPipeline,
+                NativeEvalPipeline,
+                native_available,
+            )
+            if native_available():
+                self.native_pipeline = (
+                    NativeCaptionTrainPipeline(crop_size) if split == "train"
+                    else NativeEvalPipeline(crop_size))
+            elif use_native is True:
+                raise RuntimeError("native data-plane requested but the C++ "
+                                   "library failed to build")
 
         self.padding_idx = tokenizer.token_to_id("<unk>")
         self.sos_id = tokenizer.token_to_id("[SOS]")
@@ -59,16 +79,22 @@ class CaptioningDataset:
         self, idx: int, rng: Optional[np.random.RandomState] = None
     ) -> Dict[str, np.ndarray]:
         rng = rng or np.random
-        instance = self._dset[idx]
-        image_id, image, captions = (
-            instance["image_id"],
-            instance["image"],
-            instance["captions"],
-        )
-        # One random caption per epoch (reference captioning.py:60).
-        caption = captions[rng.randint(len(captions))]
-
-        image, caption = self.image_transform(image, caption, rng)
+        if self.native_pipeline is not None:
+            instance = self._dset.raw(idx)
+            image_id, captions = instance["image_id"], instance["captions"]
+            caption = captions[rng.randint(len(captions))]
+            image, caption = self.native_pipeline(
+                instance["jpeg"], caption, rng)
+        else:
+            instance = self._dset[idx]
+            image_id, image, captions = (
+                instance["image_id"],
+                instance["image"],
+                instance["captions"],
+            )
+            # One random caption per epoch (reference captioning.py:60).
+            caption = captions[rng.randint(len(captions))]
+            image, caption = self.image_transform(image, caption, rng)
 
         tokens = [self.sos_id, *self.tokenizer.encode(caption), self.eos_id]
         tokens = tokens[: self.max_caption_length]

@@ -60,6 +60,13 @@ class CocoCaptionsReader:
         image = read_image_rgb(image_path)
         return {"image_id": image_id, "image": image, "captions": captions}
 
+    def raw(self, idx: int):
+        """Undecoded bytes for the native (C++) data-plane fast path."""
+        image_id, image_path, captions = self.instances[idx]
+        with open(image_path, "rb") as f:
+            data = f.read()
+        return {"image_id": image_id, "jpeg": data, "captions": captions}
+
 
 def read_image_rgb(path: str):
     """cv2 decode + BGR->RGB; grayscale images get 3 channels."""

@@ -129,15 +129,19 @@ class HorizontalFlip(Transform):
     def __init__(self, p: float = 0.5):
         self.p = p
 
+    @staticmethod
+    def swap_words(caption: str) -> str:
+        return " ".join(
+            "left" if w == "right" else ("right" if w == "left" else w)
+            for w in caption.split()
+        )
+
     def __call__(self, image, caption=None, rng=None):
         rng = rng or np.random
         if rng.uniform() < self.p:
             image = np.ascontiguousarray(image[:, ::-1])
             if caption is not None:
-                caption = " ".join(
-                    "left" if w == "right" else ("right" if w == "left" else w)
-                    for w in caption.split()
-                )
+                caption = self.swap_words(caption)
         return image, caption
 
 

@@ -1,0 +1,24 @@
+from virtex_tpu.engine.checkpointing import (
+    CheckpointManager,
+    load_checkpoint,
+    load_model_variables,
+)
+from virtex_tpu.engine.captioner import decode_predictions, make_caption_fn
+from virtex_tpu.engine.train_state import TrainState
+from virtex_tpu.engine.trainer import (
+    initialize_model,
+    make_eval_step,
+    make_train_step,
+)
+
+__all__ = [
+    "CheckpointManager",
+    "load_checkpoint",
+    "load_model_variables",
+    "decode_predictions",
+    "make_caption_fn",
+    "TrainState",
+    "initialize_model",
+    "make_eval_step",
+    "make_train_step",
+]

@@ -1,0 +1,73 @@
+r"""
+End-to-end caption generation: visual encode → KV-cache init → jitted
+beam-search / nucleus decode.
+
+Replaces the reference's inference branch of ``CaptioningModel.forward``
+(``virtex/models/captioning.py:145-213``): instead of re-running the full
+transformer on every growing prefix, the visual grid is encoded once, K/V
+caches are built once (cross-attention K/V precomputed), and the whole
+search runs as one compiled ``lax.while_loop`` on device.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from virtex_tpu.utils.beam_search import AutoRegressiveBeamSearch
+from virtex_tpu.utils.nucleus_sampling import AutoRegressiveNucleusSampling
+
+
+def make_caption_fn(model, decoder, sos_index: int = 1):
+    r"""Build a jittable ``(variables, images[, rng]) -> predictions`` fn.
+
+    ``model`` must expose ``encode_visual`` / ``init_decode`` /
+    ``decode_step`` methods (see
+    :class:`virtex_tpu.models.captioning.CaptioningModel`).
+    Returns token id arrays (B, max_steps); the SOS prefix is excluded
+    (reference contract, ``beam_search.py:232-238``).
+    """
+    is_beam = isinstance(decoder, AutoRegressiveBeamSearch)
+
+    def step_fn(variables, tokens, position, caches):
+        logits, caches = model.apply(variables, tokens, position, caches,
+                                     method="decode_step")
+        if is_beam:
+            return jax.nn.log_softmax(logits.astype(jnp.float32)), caches
+        return logits, caches
+
+    def caption_fn(variables, images, rng: Optional[jax.Array] = None):
+        grid = model.apply(variables, images, method="encode_visual")
+        B = images.shape[0]
+        if is_beam:
+            K = decoder.beam_size
+            # beam-major tiling: image i occupies rows [i*K, (i+1)*K)
+            grid = jnp.repeat(grid, K, axis=0)
+        caches = model.apply(variables, grid, decoder.max_steps,
+                             method="init_decode")
+        start = jnp.full((B,), sos_index, jnp.int32)
+        bound_step = partial(step_fn, variables)
+        if is_beam:
+            preds, _ = decoder.search(start, bound_step, caches)
+        else:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            preds, _ = decoder.search(start, bound_step, caches, rng)
+        return preds
+
+    return jax.jit(caption_fn)
+
+
+def decode_predictions(tokens, tokenizer, eos_index: int = 2) -> list:
+    """Token arrays → caption strings (truncate at EOS, skip specials)."""
+    import numpy as np
+    out = []
+    for row in np.asarray(tokens):
+        ids = []
+        for t in row.tolist():
+            if t == eos_index:
+                break
+            ids.append(int(t))
+        out.append(tokenizer.decode(ids))
+    return out

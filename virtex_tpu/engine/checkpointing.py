@@ -1,0 +1,130 @@
+r"""
+Checkpoint management on orbax.
+
+Parity target: reference ``virtex/utils/checkpointing.py:12-174`` —
+``step(iteration, metric)`` serialises ``checkpoint_<iter>`` plus a rolling
+``checkpoint_best`` (higher-is-better), prunes to ``keep_recent``, and
+``load`` does partial restore returning the saved iteration.
+
+TPU-native: checkpoints are orbax pytree directories (multi-host safe,
+async-friendly — SURVEY §5.3 recommends async for preemptible TPU VMs),
+not torch pickles. The saved tree is ``{"state": TrainState-as-dict,
+"iteration": i}``; restore works into any matching pytree template, so the
+same files serve resume, model-zoo download targets, and downstream init
+(the reference's interchange contract, SURVEY §5.4).
+"""
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    r"""
+    Args:
+        serialization_dir: directory for ``checkpoint_<iteration>`` subdirs.
+        keep_recent: how many recent checkpoints to retain.
+        best_metric_mode: 'max' (reference semantics, checkpointing.py:95).
+    """
+
+    def __init__(self, serialization_dir: str, keep_recent: int = 100):
+        self.serialization_dir = os.path.abspath(serialization_dir)
+        os.makedirs(self.serialization_dir, exist_ok=True)
+        self.keep_recent = keep_recent
+        self.best_metric: Optional[float] = None
+        self._ckpt = ocp.StandardCheckpointer()
+
+    # -- save ---------------------------------------------------------------
+    def _path(self, name) -> str:
+        return os.path.join(self.serialization_dir, f"checkpoint_{name}")
+
+    def step(self, state: Any, iteration: int,
+             metric: Optional[float] = None) -> None:
+        """Serialise ``state`` at ``iteration``; track rolling best by
+        ``metric`` (higher is better); prune old checkpoints."""
+        tree = {"state": jax.device_get(state),
+                "iteration": np.asarray(iteration, np.int32)}
+        path = self._path(iteration)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckpt.save(path, tree)
+        self._ckpt.wait_until_finished()
+
+        if metric is not None and (self.best_metric is None
+                                   or metric > self.best_metric):
+            self.best_metric = float(metric)
+            best = self._path("best")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+
+        self._prune()
+
+    def _numbered(self) -> List[int]:
+        out = []
+        for d in os.listdir(self.serialization_dir):
+            m = re.fullmatch(r"checkpoint_(\d+)", d)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _prune(self) -> None:
+        numbered = self._numbered()
+        for it in numbered[: max(0, len(numbered) - self.keep_recent)]:
+            shutil.rmtree(self._path(it), ignore_errors=True)
+
+    def latest(self) -> Optional[str]:
+        numbered = self._numbered()
+        return self._path(numbered[-1]) if numbered else None
+
+    # -- load ---------------------------------------------------------------
+    def load(self, path: str, state_template: Any) -> Tuple[Any, int]:
+        """Restore into the template's structure/shardings; returns
+        ``(state, iteration)``. Mirrors reference partial-load semantics
+        (``checkpointing.py:127-174``): the template defines what is
+        restored."""
+        path = os.path.abspath(path)
+        tree = self._ckpt.restore(
+            path,
+            target={"state": state_template,
+                    "iteration": np.asarray(0, np.int32)})
+        return tree["state"], int(tree["iteration"])
+
+
+def load_model_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Partial restore: only ``params`` / ``batch_stats`` out of a full
+    TrainState checkpoint — the eval/downstream-init path (reference
+    partial-load, ``checkpointing.py:127-174``).
+
+    Args:
+        path: checkpoint directory (``checkpoint_<iter>``).
+        template: ``{"params": …, "batch_stats": …}`` pytree giving the
+            expected structure.
+    """
+    raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+    state = raw["state"]
+    out = {}
+    for key in template:
+        sub = state[key]
+        out[key] = jax.tree.map(
+            lambda t, s: jnp.asarray(s).astype(t.dtype) if hasattr(
+                t, "dtype") else s,
+            template[key], sub)
+    return out
+
+
+def load_checkpoint(path: str, state_template: Any) -> Tuple[Any, int]:
+    """Convenience one-shot restore (model zoo / downstream init path)."""
+    ckpt = ocp.StandardCheckpointer()
+    tree = ckpt.restore(
+        os.path.abspath(path),
+        target={"state": state_template,
+                "iteration": np.asarray(0, np.int32)})
+    return tree["state"], int(tree["iteration"])

@@ -1,0 +1,115 @@
+r"""
+Jitted train / eval steps over a device mesh.
+
+Replaces the reference's inline training loop body
+(``scripts/pretrain_virtex.py:145-163``): autocast+GradScaler becomes plain
+bf16 compute (no loss scaling on TPU), DDP's implicit NCCL all-reduce
+becomes an XLA-inserted collective from the batch sharding, and
+clip→step→scheduler collapses into the optax chain. The returned functions
+are pure: ``(state, batch, rng) -> (state, metrics)``.
+
+BatchNorm note: because the batch axis is sharded over the mesh, XLA reduces
+BN statistics across all chips — i.e. *synchronised* BN over the global
+batch. The reference trains per-GPU BN (SURVEY §7 hard parts); global-batch
+stats are a strict superset (lower-variance estimate) and is the TPU-native
+choice.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from virtex_tpu.engine.train_state import TrainState
+from virtex_tpu.parallel.mesh import batch_sharding, param_sharding, replicated
+
+
+def donation_supported() -> bool:
+    """Buffer donation halves peak param memory but the axon development
+    tunnel rejects donated executables at runtime (INVALID_ARGUMENT);
+    auto-disable there, keep it on for real TPU runtimes."""
+    if os.environ.get("AXON_LOOPBACK_RELAY") or os.environ.get(
+            "PALLAS_AXON_POOL_IPS"):
+        return False
+    return True
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None,
+                    donate: Optional[bool] = None) -> Callable:
+    """Build the jitted train step.
+
+    With a mesh, output state/metrics shardings are pinned (params via
+    :func:`param_sharding` rules, metrics replicated) so XLA lays gradients
+    out correctly without a pjit wrapper.
+    """
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True,
+                rngs={"dropout": step_rng},
+                mutable=["batch_stats"])
+            return out["loss"], (out, mutated["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_stats,
+                                  opt_state=opt_state)
+        metrics = {"loss": loss.astype(jnp.float32),
+                   "grad_norm": optax.global_norm(grads).astype(jnp.float32)}
+        for k, v in out["loss_components"].items():
+            metrics[k] = v.astype(jnp.float32)
+        return new_state, metrics
+
+    if donate is None:
+        donate = donation_supported()
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model) -> Callable:
+    """Validation step: loss components on a fixed state (no dropout, BN in
+    inference mode). Mean over hosts/devices happens inside jit via the
+    sharded batch — replaces ``average_across_processes``
+    (``distributed.py:140-160``)."""
+
+    def eval_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False)
+        metrics = {"loss": out["loss"].astype(jnp.float32)}
+        for k, v in out["loss_components"].items():
+            metrics[k] = v.astype(jnp.float32)
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+def initialize_model(model, sample_batch, rng,
+                     mesh: Optional[Mesh] = None) -> TrainState:
+    """Init variables (optionally laid out on the mesh) without optimizer."""
+
+    def init_fn(batch):
+        return model.init(rng, batch, train=False)
+
+    if mesh is not None:
+        out_shardings = jax.tree.map(
+            lambda _: replicated(mesh),
+            jax.eval_shape(init_fn, sample_batch))
+        variables = jax.jit(init_fn, out_shardings=out_shardings)(sample_batch)
+    else:
+        variables = jax.jit(init_fn)(sample_batch)
+    return variables

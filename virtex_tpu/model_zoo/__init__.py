@@ -1,0 +1,3 @@
+from virtex_tpu.model_zoo.model_zoo import get
+
+__all__ = ["get"]

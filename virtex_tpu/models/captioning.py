@@ -1,0 +1,102 @@
+r"""
+Captioning pretext-task models (forward-only and bidirectional = VirTex).
+
+Parity target: ``virtex/models/captioning.py:13-283``:
+
+- loss = token-level cross-entropy of ``logits[:, :-1]`` against
+  ``tokens[:, 1:]``, ignoring padding (``captioning.py:69,111-114``);
+- bicaptioning adds the same loss on reversed tokens through a second
+  transformer sharing projection/embedding/output (``captioning.py:57-63,
+  121-138``);
+- inference runs the decoder search from ``[SOS]`` with a per-step
+  ``decoding_step`` callback (``captioning.py:145-213``).
+
+TPU-native: a single jitted forward returns scalar fp32 losses; masked mean
+replaces torch's ``ignore_index`` reduction; the decoding step uses the KV
+cache (the reference re-runs the full prefix, ``captioning.py:191-213``).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from virtex_tpu.modules.textual_heads import TransformerTextualHead
+from virtex_tpu.modules.visual_backbones import ResNetVisualBackbone
+
+
+def token_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
+                        ignore_index: int) -> jnp.ndarray:
+    """Mean CE over non-ignored target positions, fp32.
+
+    Matches torch ``F.cross_entropy(…, ignore_index=padding_idx)`` reduction
+    semantics (mean over counted tokens only).
+    """
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    mask = (targets != ignore_index).astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+class CaptioningModel(nn.Module):
+    r"""Visual backbone + autoregressive textual head.
+
+    Attributes mirror the reference constructor (``captioning.py:33-63``);
+    ``caption_backward=True`` selects bicaptioning (VirTex flagship).
+    """
+    visual: ResNetVisualBackbone
+    textual: TransformerTextualHead
+    caption_backward: bool = False
+    sos_index: int = 1
+    eos_index: int = 2
+    padding_idx: int = 0
+
+    def __call__(self, batch: Dict[str, jnp.ndarray],
+                 train: bool = True) -> Dict[str, Any]:
+        visual_grid = self.visual(batch["image"], train=train)
+        tokens = batch["caption_tokens"]
+        lengths = batch["caption_lengths"]
+        logits = self.textual(visual_grid, tokens, lengths,
+                              deterministic=not train)
+        loss = token_cross_entropy(
+            logits[:, :-1], tokens[:, 1:], self.padding_idx)
+        components = {"captioning_forward": loss}
+        if self.caption_backward:
+            noitpac = batch["noitpac_tokens"]
+            backward_logits = self.textual(
+                visual_grid, noitpac, lengths, deterministic=not train,
+                backward=True)
+            backward_loss = token_cross_entropy(
+                backward_logits[:, :-1], noitpac[:, 1:], self.padding_idx)
+            components["captioning_backward"] = backward_loss
+            loss = loss + backward_loss
+        out = {"loss": loss, "loss_components": components}
+        if not train:
+            out["predictions"] = jnp.argmax(logits, axis=-1)
+        return out
+
+    # -- inference -----------------------------------------------------------
+    def encode_visual(self, image: jnp.ndarray) -> jnp.ndarray:
+        return self.visual(image, train=False)
+
+    def init_decode(self, visual_grid, max_length: Optional[int] = None):
+        return self.textual.init_decode(visual_grid, max_length)
+
+    def decode_step(self, token, position, caches):
+        """Forward-direction single decode step (beam/nucleus callbacks)."""
+        return self.textual.decode_step(token, position, caches)
+
+
+class ForwardCaptioningModel(CaptioningModel):
+    caption_backward: bool = False
+
+
+class BidirectionalCaptioningModel(CaptioningModel):
+    caption_backward: bool = True
+
+
+# Convenient alias (reference ``captioning.py:283``).
+VirTexModel = BidirectionalCaptioningModel

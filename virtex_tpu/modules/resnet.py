@@ -1,0 +1,172 @@
+r"""
+ResNet visual backbones in JAX/flax, NHWC (TPU-native) layout.
+
+Behavioral parity target: the reference wraps torchvision ResNets and returns
+the layer4 spatial grid, skipping avgpool/fc
+(``virtex/modules/visual_backbones.py:20-74``); pretraining uses
+``zero_init_residual=True`` (``visual_backbones.py:43-45``). This module
+re-implements the architecture family from its published description
+(He et al. 2016; torchvision "v1.5" stride-on-3x3 variant) directly in flax:
+
+- NHWC everywhere (XLA:TPU's preferred conv layout; the reference's NCHW is a
+  CUDA convention and would force transposes on TPU).
+- BatchNorm state in a ``batch_stats`` collection; flax ``momentum=0.9``
+  equals the torch ``momentum=0.1`` running-average convention.
+- ``zero_init_residual``: the last BN scale of every residual branch starts
+  at zero so each block is the identity at init.
+- Compute dtype is configurable (bfloat16 default on TPU); parameters and BN
+  statistics stay float32.
+
+Supported names (factory grammar ``torchvision::<name>`` kept for config
+compatibility): resnet18/34/50/101/152, wide_resnet50_2, resnext50_32x4d,
+resnext101_32x8d.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+    expansion: int = 1
+    base_width: int = 64
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(1, 1), (1, 1)], use_bias=False, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(self.planes, (3, 3), padding=[(1, 1), (1, 1)],
+                      use_bias=False, name="conv2")(y)
+        # Residual-branch-final BN: scale zero-initialised (zero_init_residual).
+        y = self.norm(scale_init=nn.initializers.zeros, name="bn2")(y)
+        if self.downsample:
+            residual = self.conv(
+                self.planes * self.expansion, (1, 1),
+                strides=(self.stride, self.stride), use_bias=False,
+                name="downsample_conv")(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+    expansion: int = 4
+    base_width: int = 64
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        width = int(self.planes * (self.base_width / 64.0)) * self.groups
+        residual = x
+        y = self.conv(width, (1, 1), use_bias=False, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        # Stride on the 3x3 conv (torchvision v1.5 placement).
+        y = self.conv(width, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(1, 1), (1, 1)], use_bias=False,
+                      feature_group_count=self.groups, name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = self.conv(self.planes * self.expansion, (1, 1), use_bias=False,
+                      name="conv3")(y)
+        y = self.norm(scale_init=nn.initializers.zeros, name="bn3")(y)
+        if self.downsample:
+            residual = self.conv(
+                self.planes * self.expansion, (1, 1),
+                strides=(self.stride, self.stride), use_bias=False,
+                name="downsample_conv")(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    r"""ResNet trunk emitting the layer4 spatial grid (B, H/32, W/32, C_out)
+    — the reference's (B, 2048, 7, 7) in NHWC (``visual_backbones.py:68-74``).
+
+    Attributes:
+        stage_sizes: blocks per stage, e.g. (3, 4, 6, 3) for ResNet-50.
+        block_cls: BasicBlock or Bottleneck.
+        dtype: compute dtype (bfloat16 on TPU); params/stats stay float32.
+    """
+    stage_sizes: Sequence[int]
+    block_cls: ModuleDef = Bottleneck
+    num_filters: int = 64
+    base_width: int = 64
+    groups: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+    bn_momentum: float = 0.9  # == torch momentum 0.1
+    bn_eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=self.bn_momentum, epsilon=self.bn_eps,
+                       dtype=self.dtype, param_dtype=jnp.float32)
+        x = x.astype(self.dtype)
+        x = conv(self.num_filters, (7, 7), strides=(2, 2),
+                 padding=[(3, 3), (3, 3)], use_bias=False, name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        expansion = self.block_cls.expansion
+        in_planes = self.num_filters
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            planes = self.num_filters * (2 ** stage)
+            for block in range(num_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                needs_down = stride != 1 or in_planes != planes * expansion
+                x = self.block_cls(
+                    planes=planes, stride=stride, downsample=needs_down,
+                    conv=conv, norm=norm, base_width=self.base_width,
+                    groups=self.groups,
+                    name=f"layer{stage + 1}_{block}")(x)
+                in_planes = planes * expansion
+        return x
+
+
+_RESNET_DEFS = {
+    "resnet18": dict(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock),
+    "resnet34": dict(stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock),
+    "resnet50": dict(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck),
+    "resnet101": dict(stage_sizes=(3, 4, 23, 3), block_cls=Bottleneck),
+    "resnet152": dict(stage_sizes=(3, 8, 36, 3), block_cls=Bottleneck),
+    "wide_resnet50_2": dict(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck,
+                            base_width=128),
+    "resnext50_32x4d": dict(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck,
+                            base_width=4, groups=32),
+    "resnext101_32x8d": dict(stage_sizes=(3, 4, 23, 3), block_cls=Bottleneck,
+                             base_width=8, groups=32),
+}
+
+
+def feature_size(name: str) -> int:
+    """Output channel count of the layer4 grid for a named ResNet."""
+    d = _RESNET_DEFS[name]
+    return 512 * d["block_cls"].expansion
+
+
+def make_resnet(name: str, dtype: jnp.dtype = jnp.bfloat16) -> ResNet:
+    if name not in _RESNET_DEFS:
+        raise ValueError(
+            f"Unknown resnet {name!r}; supported: {sorted(_RESNET_DEFS)}")
+    return ResNet(dtype=dtype, **_RESNET_DEFS[name])

@@ -1,0 +1,19 @@
+from virtex_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    create_mesh,
+    param_sharding,
+    replicated,
+    shard_batch,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "batch_sharding",
+    "create_mesh",
+    "param_sharding",
+    "replicated",
+    "shard_batch",
+]

@@ -1,0 +1,120 @@
+r"""
+Autoregressive beam search as a jit-compiled ``lax.while_loop``.
+
+Parity target: reference ``virtex/utils/beam_search.py:25-238`` (AllenNLP
+lineage, backpointer trick removed in v1.2 for transformers): batch-expanded
+(B·K) prefixes, per-node beam of 2, repetition penalty −10000 on the last
+predicted token (``beam_search.py:156-157``), EOS-absorbing states
+(``:129-133,168-172``), early stop when every beam ends in EOS
+(``:143-144``).
+
+TPU-native design: everything is fixed-shape. Beams are expanded to B·K from
+step 0 (beams 1..K−1 start at −inf so the first top-k draws K distinct
+continuations of beam 0 — equivalent to the reference's step-0 special case
+at ``beam_search.py:119-127``); early stopping is the while-loop condition
+rather than a Python break; the step callback threads a KV-cache pytree.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+StepFn = Callable[[jnp.ndarray, jnp.ndarray, Any], Tuple[jnp.ndarray, Any]]
+NEG_INF = -1e18
+REPETITION_PENALTY = -10000.0  # reference beam_search.py:156-157
+
+
+class AutoRegressiveBeamSearch:
+    r"""
+    Args:
+        eos_index: token latched once a beam finishes.
+        max_steps: decode length (static).
+        beam_size: K.
+        per_node_beam_size: candidates drawn per live beam before re-ranking
+            (reference default 2).
+    """
+
+    def __init__(self, eos_index: int, max_steps: int = 30,
+                 beam_size: int = 5, per_node_beam_size: int = 2):
+        self.eos_index = eos_index
+        self.max_steps = max_steps
+        self.beam_size = beam_size
+        self.per_node_beam_size = per_node_beam_size or beam_size
+
+    def search(self, start_tokens: jnp.ndarray, step_fn: StepFn,
+               state: Any, only_return_best: bool = True):
+        r"""
+        Args:
+            start_tokens: (B,) int32 — usually ``[SOS]``.
+            step_fn: ``(last_tokens (B·K,), position, state) →
+                (logprobs (B·K, V), state)``. ``state`` is any pytree whose
+                arrays carry batch dim B·K (e.g. KV caches built over visual
+                features tiled per beam).
+            only_return_best: return best beam (B, T) or all (B, K, T).
+
+        Returns:
+            (predictions, logprobs): prefixes EXCLUDE the start token
+            (reference contract) and are padded with EOS after finish.
+        """
+        B = start_tokens.shape[0]
+        K, P = self.beam_size, self.per_node_beam_size
+        eos = self.eos_index
+
+        # Beam-expanded last-token input: (B, K) flattened to (B·K,).
+        last = jnp.tile(start_tokens[:, None], (1, K))
+        # Beam scores: only beam 0 live at step 0.
+        scores = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+        preds = jnp.full((B, K, self.max_steps), eos, jnp.int32)
+
+        def body(carry):
+            t, last, scores, preds, state = carry
+            logprobs, state = step_fn(last.reshape(B * K), t, state)
+            V = logprobs.shape[-1]
+            logprobs = logprobs.reshape(B, K, V).astype(jnp.float32)
+
+            # Repetition penalty on each beam's last predicted token.
+            logprobs = logprobs + REPETITION_PENALTY * jax.nn.one_hot(
+                last, V, dtype=jnp.float32)
+
+            # EOS-absorbing: a finished beam only extends with EOS at zero
+            # added cost (so its score freezes).
+            finished = (last == eos) & (t > 0)
+            after_end = jnp.full((V,), NEG_INF).at[eos].set(0.0)
+            logprobs = jnp.where(finished[..., None], after_end[None, None],
+                                 logprobs)
+
+            # Per-node top-P then global top-K over K·P candidates.
+            node_lp, node_ix = jax.lax.top_k(logprobs, P)      # (B, K, P)
+            cand = scores[..., None] + node_lp                  # (B, K, P)
+            cand_flat = cand.reshape(B, K * P)
+            new_scores, flat_ix = jax.lax.top_k(cand_flat, K)   # (B, K)
+            src_beam = flat_ix // P                             # (B, K)
+            new_tokens = jnp.take_along_axis(
+                node_ix.reshape(B, K * P), flat_ix, axis=1)     # (B, K)
+
+            # Reorder beam-history + per-beam decode state to winners.
+            preds = jnp.take_along_axis(preds, src_beam[..., None], axis=1)
+            preds = preds.at[:, :, t].set(new_tokens)
+
+            def reorder(x):
+                xb = x.reshape(B, K, *x.shape[1:])
+                ix = src_beam.reshape(B, K, *([1] * (x.ndim - 1)))
+                return jnp.take_along_axis(xb, ix, axis=1).reshape(x.shape)
+
+            state = jax.tree.map(reorder, state)
+            return t + 1, new_tokens, new_scores, preds, state
+
+        def cond(carry):
+            t, last, scores, preds, state = carry
+            all_eos = jnp.all((last == eos) & (t > 0))
+            return (t < self.max_steps) & ~all_eos
+
+        t, last, scores, preds, state = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, jnp.int32), last, scores, preds, state))
+
+        if only_return_best:
+            return preds[:, 0, :], scores[:, 0]
+        return preds, scores

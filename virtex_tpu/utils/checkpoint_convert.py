@@ -1,0 +1,167 @@
+r"""
+Convert reference (PyTorch) VirTex checkpoints to this framework's
+flax variable trees.
+
+This is the north-star parity artifact (SURVEY §7.2): torchvision ResNet
+layout quirks (OIHW kernels, BN running stats) and
+``nn.TransformerDecoder``'s packed ``in_proj_weight``
+(``virtex/modules/textual_heads.py:208-210``) are mapped exactly, so
+reference pretrained weights produce bit-equivalent (within fp tolerance)
+features in the flax modules.
+
+Input is a ``{name: np.ndarray}`` dict (call ``.numpy()`` on torch tensors
+or use :func:`load_torch_checkpoint`); no torch import needed here.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _t_conv(w: np.ndarray) -> np.ndarray:
+    """torch OIHW conv weight → flax HWIO."""
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))
+
+
+def _t_lin(w: np.ndarray) -> np.ndarray:
+    """torch Linear (out, in) → flax kernel (in, out)."""
+    return np.ascontiguousarray(w.T)
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def convert_resnet(sd: Dict[str, np.ndarray], prefix: str = ""
+                   ) -> Tuple[Dict, Dict]:
+    """torchvision ResNet state-dict → (params, batch_stats) trees matching
+    :class:`virtex_tpu.modules.resnet.ResNet` naming."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def bn(src: str, dst: Tuple[str, ...]):
+        _set(params, dst + ("scale",), sd[f"{src}.weight"])
+        _set(params, dst + ("bias",), sd[f"{src}.bias"])
+        _set(stats, dst + ("mean",), sd[f"{src}.running_mean"])
+        _set(stats, dst + ("var",), sd[f"{src}.running_var"])
+
+    _set(params, ("conv1", "kernel"), _t_conv(sd[f"{prefix}conv1.weight"]))
+    bn(f"{prefix}bn1", ("bn1",))
+
+    block_re = re.compile(
+        rf"{re.escape(prefix)}layer(\d+)\.(\d+)\.conv1\.weight")
+    blocks = sorted({(int(m.group(1)), int(m.group(2)))
+                     for k in sd for m in [block_re.fullmatch(k)] if m})
+    for stage, idx in blocks:
+        src = f"{prefix}layer{stage}.{idx}"
+        dst = f"layer{stage}_{idx}"
+        n_convs = 3 if f"{src}.conv3.weight" in sd else 2
+        for c in range(1, n_convs + 1):
+            _set(params, (dst, f"conv{c}", "kernel"),
+                 _t_conv(sd[f"{src}.conv{c}.weight"]))
+            bn(f"{src}.bn{c}", (dst, f"bn{c}"))
+        if f"{src}.downsample.0.weight" in sd:
+            _set(params, (dst, "downsample_conv", "kernel"),
+                 _t_conv(sd[f"{src}.downsample.0.weight"]))
+            bn(f"{src}.downsample.1", (dst, "downsample_bn"))
+    return params, stats
+
+
+def _convert_mha(sd: Dict[str, np.ndarray], src: str) -> Dict:
+    """torch nn.MultiheadAttention → our q/k/v/out denses. The packed
+    in_proj weight is (3H, H) stacked [q; k; v]."""
+    w = sd[f"{src}.in_proj_weight"]
+    b = sd[f"{src}.in_proj_bias"]
+    H = w.shape[1]
+    out = {}
+    for i, name in enumerate(("query", "key", "value")):
+        out[name] = {"kernel": _t_lin(w[i * H:(i + 1) * H]),
+                     "bias": np.asarray(b[i * H:(i + 1) * H])}
+    out["out"] = {"kernel": _t_lin(sd[f"{src}.out_proj.weight"]),
+                  "bias": np.asarray(sd[f"{src}.out_proj.bias"])}
+    return out
+
+
+def _ln(sd, src):
+    return {"scale": np.asarray(sd[f"{src}.weight"]),
+            "bias": np.asarray(sd[f"{src}.bias"])}
+
+
+def convert_transformer_stack(sd: Dict[str, np.ndarray], src: str,
+                              num_layers: int, prenorm: bool) -> Dict:
+    """torch ``nn.TransformerDecoder`` (``<src>.layers.N.*``) → our
+    :class:`TransformerDecoder` params."""
+    out: Dict[str, Any] = {}
+    for i in range(num_layers):
+        lsrc = f"{src}.layers.{i}"
+        out[f"layer_{i}"] = {
+            "self_attn": _convert_mha(sd, f"{lsrc}.self_attn"),
+            "cross_attn": _convert_mha(sd, f"{lsrc}.multihead_attn"),
+            "ffn": {
+                "intermediate": {"kernel": _t_lin(sd[f"{lsrc}.linear1.weight"]),
+                                 "bias": np.asarray(sd[f"{lsrc}.linear1.bias"])},
+                "output": {"kernel": _t_lin(sd[f"{lsrc}.linear2.weight"]),
+                           "bias": np.asarray(sd[f"{lsrc}.linear2.bias"])},
+            },
+            "norm1": _ln(sd, f"{lsrc}.norm1"),
+            "norm2": _ln(sd, f"{lsrc}.norm2"),
+            "norm3": _ln(sd, f"{lsrc}.norm3"),
+        }
+    if prenorm and f"{src}.norm.weight" in sd:
+        out["final_norm"] = _ln(sd, f"{src}.norm")
+    return out
+
+
+def convert_virtex_checkpoint(sd: Dict[str, np.ndarray],
+                              num_layers: int = 1,
+                              prenorm: bool = False) -> Dict[str, Any]:
+    r"""Full reference VirTex model state-dict → flax
+    ``{"params": …, "batch_stats": …}``.
+
+    Handles: visual backbone (``visual.cnn.*``), textual head
+    (``textual.*``), and — for bicaptioning — the backward transformer
+    (``backward_textual.transformer.*``), which shares everything else
+    (``virtex/models/captioning.py:57-63``).
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    cnn_params, cnn_stats = convert_resnet(sd, prefix="visual.cnn.")
+
+    textual: Dict[str, Any] = {
+        "visual_projection": {
+            "kernel": _t_lin(sd["textual.visual_projection.weight"]),
+            "bias": np.asarray(sd["textual.visual_projection.bias"]),
+        },
+        "embedding": {
+            "words": {"embedding": np.asarray(
+                sd["textual.embedding.words.weight"])},
+            "positions": {"embedding": np.asarray(
+                sd["textual.embedding.positions.weight"])},
+            "layer_norm": _ln(sd, "textual.embedding.layer_norm"),
+        },
+        "transformer": convert_transformer_stack(
+            sd, "textual.transformer", num_layers, prenorm),
+        "output_bias": np.asarray(sd["textual.output.bias"]),
+    }
+    if any(k.startswith("backward_textual.transformer.") for k in sd):
+        textual["backward_transformer"] = convert_transformer_stack(
+            sd, "backward_textual.transformer", num_layers, prenorm)
+
+    return {
+        "params": {"visual": {"cnn": cnn_params}, "textual": textual},
+        "batch_stats": {"visual": {"cnn": cnn_stats}},
+    }
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference ``checkpoint_<iter>.pth`` (torch pickle) into a
+    numpy state dict (CPU, no grad)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt)
+    return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
+            for k, v in sd.items()}

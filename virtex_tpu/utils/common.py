@@ -1,0 +1,97 @@
+r"""
+Common script plumbing: argument parser, run setup (seeds, logging, config
+dump), infinite batch cycling.
+
+Parity target: reference ``virtex/utils/common.py`` — ``cycle`` (infinite
+loader with epoch re-seeding, ``common.py:14-36``), ``common_setup`` (seeds,
+per-rank log files, config dump, ``common.py:39-99``), ``common_parser``
+(shared CLI flags, ``common.py:102-154``). TPU differences: no
+``--num-gpus-per-machine`` spawn flags (hosts run SPMD); the device count
+comes from the runtime; RNG is an explicit ``jax.random.PRNGKey``.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import random
+import sys
+from typing import Any, Iterable, Iterator, Optional
+
+import numpy as np
+
+from virtex_tpu.config import Config
+from virtex_tpu.utils import distributed as dist
+
+logger = logging.getLogger("virtex_tpu")
+
+
+def common_parser(description: str = "") -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("--config", metavar="FILE",
+                        help="Path to a config file.")
+    parser.add_argument("--config-override", nargs="*", default=[],
+                        help="Dotted-key value pairs overriding config.")
+    parser.add_argument("--serialization-dir", default="/tmp/virtex_tpu_run",
+                        help="Directory for checkpoints, logs, config dump.")
+    parser.add_argument("--cpu-workers", type=int, default=4,
+                        help="Host data-pipeline worker threads.")
+    parser.add_argument("--checkpoint-every", type=int, default=2000)
+    parser.add_argument("--log-every", type=int, default=20)
+    parser.add_argument("--resume-from", default=None,
+                        help="Checkpoint path to resume training from.")
+    # Multi-host rendezvous (TPU pods usually auto-detect all of these).
+    parser.add_argument("--coordinator-address", default=None)
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    return parser
+
+
+def setup_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Enable JAX's persistent compilation cache (compiles on the TPU
+    tunnel take minutes; cached reruns are instant)."""
+    import jax
+    cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                 or os.path.expanduser("~/.cache/virtex_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def common_setup(_C: Config, _A: argparse.Namespace,
+                 job_type: str = "pretrain") -> None:
+    """Seed python/numpy, configure logging (one file per host, stdout on
+    master only), dump the config to the serialization dir."""
+    os.makedirs(_A.serialization_dir, exist_ok=True)
+    setup_compilation_cache()
+
+    rank = dist.get_rank()
+    handlers = [logging.FileHandler(
+        os.path.join(_A.serialization_dir, f"log-rank{rank}.txt"))]
+    if dist.is_master_process():
+        handlers.append(logging.StreamHandler(sys.stdout))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s",
+        handlers=handlers, force=True)
+
+    random.seed(_C.RANDOM_SEED)
+    np.random.seed(_C.RANDOM_SEED)
+
+    if dist.is_master_process():
+        logger.info(f"{job_type}: world size {dist.get_world_size()}")
+        logger.info(str(_C))
+        _C.dump(os.path.join(_A.serialization_dir, f"{job_type}_config.yaml"))
+
+
+def cycle(loader_factory, start_epoch: int = 0) -> Iterator[Any]:
+    """Infinite stream of batches; ``loader_factory(epoch)`` builds one
+    epoch's iterator (epoch index re-seeds the shuffle, mirroring
+    ``DistributedSampler.set_epoch`` — reference ``common.py:25-30``)."""
+    epoch = start_epoch
+    while True:
+        for batch in loader_factory(epoch):
+            yield batch
+        epoch += 1

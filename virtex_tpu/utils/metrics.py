@@ -1,0 +1,247 @@
+r"""
+Evaluation metrics: top-k accuracy accumulator and COCO caption metrics
+(CIDEr, SPICE).
+
+Parity target: reference ``virtex/utils/metrics.py`` —
+:class:`TopkAccuracy` (``metrics.py:22-72``), and
+:class:`CocoCaptionsEvaluator` following the official coco-caption protocol
+(``metrics.py:75-306``): PTB tokenization, CIDEr-D (tf-idf 4-gram cosine
+with a σ=6 length gaussian, ×10), and SPICE via the Stanford JAR.
+
+Differences: PTB tokenization is pure Python here (the reference shells out
+to the CoreNLP PTBTokenizer JAR, ``metrics.py:132-158``) implementing the
+same published Penn-Treebank rules + punctuation removal used by
+coco-caption; SPICE still requires the external JAR (subprocess contract
+preserved, gated on java being present).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import shutil
+import subprocess
+import tempfile
+from collections import defaultdict
+from typing import Any, Dict, List, Sequence
+
+import numpy as np
+
+
+class TopkAccuracy:
+    r"""Running top-k accuracy (reference ``metrics.py:22-72``):
+    ``__call__(logits (B, C) or (B, T, C), targets)`` accumulates; ``get``
+    returns percentage and resets."""
+
+    def __init__(self, top_k: int = 1):
+        self._top_k = top_k
+        self.reset()
+
+    def reset(self):
+        self.num_total = 0.0
+        self.num_correct = 0.0
+
+    def __call__(self, predictions, ground_truth):
+        predictions = np.asarray(predictions)
+        ground_truth = np.asarray(ground_truth)
+        if self._top_k == 1:
+            top_k = predictions.argmax(-1)[..., None]
+        else:
+            top_k = np.argsort(-predictions, axis=-1)[..., : self._top_k]
+        correct = (top_k == ground_truth[..., None]).any(-1)
+        self.num_correct += float(correct.sum())
+        self.num_total += float(correct.size)
+
+    def get_metric(self, reset: bool = False) -> float:
+        acc = 100.0 * self.num_correct / max(self.num_total, 1e-12)
+        if reset:
+            self.reset()
+        return acc
+
+
+# ---------------------------------------------------------------------------
+# PTB-style tokenization (pure python).
+# ---------------------------------------------------------------------------
+
+# Punctuation stripped by coco-caption's PTBTokenizer wrapper.
+_PUNCT = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
+          ".", "?", "!", ",", ":", "-", "--", "...", ";"}
+
+_CONTRACTIONS = [
+    (re.compile(r"\b(can)(not)\b", re.I), r"\1 \2"),
+    (re.compile(r"\b(d)('ye)\b", re.I), r"\1 \2"),
+    (re.compile(r"\b(gim)(me)\b", re.I), r"\1 \2"),
+    (re.compile(r"\b(gon)(na)\b", re.I), r"\1 \2"),
+    (re.compile(r"\b(got)(ta)\b", re.I), r"\1 \2"),
+    (re.compile(r"\b(lem)(me)\b", re.I), r"\1 \2"),
+    (re.compile(r"\b(wan)(na)\b", re.I), r"\1 \2"),
+]
+
+
+def ptb_tokenize(caption: str) -> List[str]:
+    """Penn-Treebank-style word tokenization, lowercased, punctuation
+    dropped — mirrors the behavior of coco-caption's PTBTokenizer
+    (reference ``metrics.py:132-158``)."""
+    s = caption.strip()
+    # separate out standard punctuation
+    s = re.sub(r"([,.;:!?()\[\]{}\"])", r" \1 ", s)
+    # split contractions: n't, 's, 're, 've, 'll, 'd, 'm
+    s = re.sub(r"\b(\w+)(n't)\b", r"\1 \2", s, flags=re.I)
+    s = re.sub(r"(\w)('s|'re|'ve|'ll|'d|'m)\b", r"\1 \2", s, flags=re.I)
+    for pat, repl in _CONTRACTIONS:
+        s = pat.sub(repl, s)
+    tokens = s.lower().split()
+    return [t for t in tokens if t not in _PUNCT and not re.fullmatch(
+        r"[^\w]+", t)]
+
+
+# ---------------------------------------------------------------------------
+# CIDEr-D (pure python, reference metrics.py:177-264).
+# ---------------------------------------------------------------------------
+
+
+def _ngrams(tokens: Sequence[str], max_n: int = 4) -> Dict[int, Dict[tuple, int]]:
+    out: Dict[int, Dict[tuple, int]] = {n: defaultdict(int)
+                                        for n in range(1, max_n + 1)}
+    for n in range(1, max_n + 1):
+        for i in range(len(tokens) - n + 1):
+            out[n][tuple(tokens[i:i + n])] += 1
+    return out
+
+
+def cider(predictions: Dict[Any, List[str]],
+          ground_truth: Dict[Any, List[List[str]]],
+          n: int = 4, sigma: float = 6.0) -> float:
+    r"""CIDEr-D over tokenized captions.
+
+    Args:
+        predictions: image_id → [candidate tokens].
+        ground_truth: image_id → list of [reference tokens].
+    """
+    ids = list(ground_truth.keys())
+    # document frequency over reference sets
+    df: Dict[int, Dict[tuple, float]] = {k: defaultdict(float)
+                                         for k in range(1, n + 1)}
+    for img in ids:
+        seen = set()
+        for ref in ground_truth[img]:
+            for k, grams in _ngrams(ref, n).items():
+                for g in grams:
+                    seen.add((k, g))
+        for k, g in seen:
+            df[k][g] += 1.0
+    log_num = math.log(max(len(ids), 1))
+
+    def vec(tokens):
+        grams = _ngrams(tokens, n)
+        v = {}
+        norm = {}
+        for k in range(1, n + 1):
+            vk = {}
+            for g, cnt in grams[k].items():
+                idf = log_num - math.log(max(df[k][g], 1.0))
+                vk[g] = cnt * idf
+            v[k] = vk
+            norm[k] = math.sqrt(sum(x * x for x in vk.values()))
+        return v, norm
+
+    scores = []
+    for img in ids:
+        cand_tokens = predictions.get(img, [])
+        cv, cn = vec(cand_tokens)
+        img_score = 0.0
+        for ref in ground_truth[img]:
+            rv, rn = vec(ref)
+            sim = 0.0
+            for k in range(1, n + 1):
+                num = 0.0
+                for g, val in cv[k].items():
+                    # clipped candidate counts (CIDEr-D)
+                    num += min(val, rv[k].get(g, 0.0)) * rv[k].get(g, 0.0)
+                denom = cn[k] * rn[k]
+                if denom > 0:
+                    sim += num / denom
+            delta = len(cand_tokens) - len(ref)
+            sim *= math.exp(-(delta ** 2) / (2 * sigma ** 2))
+            img_score += sim
+        img_score = 10.0 * img_score / max(len(ground_truth[img]), 1) / n
+        scores.append(img_score)
+    return float(np.mean(scores)) if scores else 0.0
+
+
+# ---------------------------------------------------------------------------
+# SPICE (subprocess contract, reference metrics.py:267-306).
+# ---------------------------------------------------------------------------
+
+SPICE_JAR_ENV = "VIRTEX_TPU_SPICE_JAR"
+
+
+def spice(predictions: Dict[Any, List[str]],
+          ground_truth: Dict[Any, List[List[str]]]) -> float:
+    """Run the SPICE-1.0 JAR if java + the jar are available; else raise.
+    The jar path comes from $VIRTEX_TPU_SPICE_JAR."""
+    jar = os.environ.get(SPICE_JAR_ENV)
+    if not jar or not os.path.exists(jar) or shutil.which("java") is None:
+        raise RuntimeError(
+            "SPICE requires java and the SPICE-1.0 jar; set "
+            f"${SPICE_JAR_ENV} to the jar path (reference "
+            "virtex/utils/assets/download_spice.sh).")
+    payload = [
+        {"image_id": img,
+         "test": " ".join(predictions.get(img, [])),
+         "refs": [" ".join(r) for r in refs]}
+        for img, refs in ground_truth.items()
+    ]
+    with tempfile.TemporaryDirectory() as tmp:
+        in_file = os.path.join(tmp, "input.json")
+        out_file = os.path.join(tmp, "output.json")
+        with open(in_file, "w") as f:
+            json.dump(payload, f)
+        subprocess.check_call(
+            ["java", "-jar", "-Xmx8G", jar, in_file, "-cache",
+             os.path.join(tmp, "cache"), "-out", out_file, "-subset",
+             "-silent"])
+        with open(out_file) as f:
+            results = json.load(f)
+    return float(np.mean([
+        item["scores"]["All"]["f"] for item in results]))
+
+
+class CocoCaptionsEvaluator:
+    r"""Evaluate predicted captions against COCO ground truth
+    (reference ``metrics.py:75-122``).
+
+    Args:
+        gt_annotations: path to ``captions_val2017.json`` or a preloaded
+            ``{image_id: [caption strings]}`` dict.
+    """
+
+    def __init__(self, gt_annotations):
+        if isinstance(gt_annotations, str):
+            with open(gt_annotations) as f:
+                raw = json.load(f)
+            gts: Dict[int, List[str]] = defaultdict(list)
+            for ann in raw["annotations"]:
+                gts[ann["image_id"]].append(ann["caption"])
+            gt_annotations = dict(gts)
+        self.ground_truth = {
+            img: [ptb_tokenize(c) for c in caps]
+            for img, caps in gt_annotations.items()
+        }
+
+    def evaluate(self, preds) -> Dict[str, float]:
+        """preds: list of {"image_id", "caption"} or dict image_id→caption.
+        Returns {"CIDEr": …, "SPICE": …} (SPICE 0.0 + warning if the JAR is
+        unavailable)."""
+        if isinstance(preds, list):
+            preds = {p["image_id"]: p["caption"] for p in preds}
+        pred_tokens = {img: ptb_tokenize(c) for img, c in preds.items()}
+        # Same scale convention as the reference (metrics.py:119-122):
+        # per-image CIDEr-D ∈ [0, 10], reported ×100.
+        out = {"CIDEr": 100.0 * cider(pred_tokens, self.ground_truth)}
+        try:
+            out["SPICE"] = 100.0 * spice(pred_tokens, self.ground_truth)
+        except RuntimeError:
+            out["SPICE"] = 0.0
+        return out
