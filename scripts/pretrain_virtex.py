@@ -55,6 +55,8 @@ def main(_A) -> None:
     dist.initialize(_A.coordinator_address, _A.num_processes, _A.process_id)
     _C = Config(_A.config, _A.config_override)
     common_setup(_C, _A, job_type="pretrain")
+    if _A.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     mesh = create_mesh(data=_C.PARALLEL.DATA, model=_C.PARALLEL.MODEL)
     num_hosts = dist.get_world_size()
@@ -102,6 +104,10 @@ def main(_A) -> None:
     with mesh:
         for iteration in range(start_iteration + 1,
                                _C.OPTIM.NUM_ITERATIONS + 1):
+            if _A.profile_dir and iteration == start_iteration + 10:
+                jax.profiler.start_trace(_A.profile_dir)
+            if _A.profile_dir and iteration == start_iteration + 20:
+                jax.profiler.stop_trace()
             timer.tic()
             state, metrics = train_step(state, batch, rng)
             # Overlap: fetch the next host batch while the device step runs.

@@ -1,0 +1,130 @@
+"""Checkpoint-converter parity tests.
+
+The strongest available parity check without torchvision: build REAL torch
+modules (nn.TransformerDecoder with packed in_proj, torch Conv2d+BatchNorm in
+torchvision's naming convention), convert their state dicts with
+checkpoint_convert, and require the flax modules to reproduce torch's
+outputs on the same inputs (SURVEY §7.2 — the converter is the north-star
+verification artifact)."""
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+import jax
+import jax.numpy as jnp
+
+from virtex_tpu.modules.transformer import TransformerDecoder
+from virtex_tpu.utils.checkpoint_convert import (
+    convert_resnet,
+    convert_transformer_stack,
+)
+
+H, HEADS, FF, L = 32, 4, 64, 2
+B, T, V = 2, 5, 7  # V = visual tokens
+
+
+@pytest.mark.parametrize("prenorm", [False, True])
+def test_transformer_decoder_matches_torch(prenorm):
+    torch.manual_seed(0)
+    layer = tnn.TransformerDecoderLayer(
+        d_model=H, nhead=HEADS, dim_feedforward=FF, dropout=0.0,
+        activation="gelu", batch_first=True, norm_first=prenorm)
+    torch_dec = tnn.TransformerDecoder(
+        layer, num_layers=L,
+        norm=tnn.LayerNorm(H) if prenorm else None)
+    torch_dec.eval()
+
+    tgt = torch.randn(B, T, H)
+    memory = torch.randn(B, V, H)
+    causal = torch.triu(torch.full((T, T), float("-inf")), diagonal=1)
+    with torch.no_grad():
+        ref = torch_dec(tgt, memory, tgt_mask=causal).numpy()
+
+    sd = {k: v.numpy() for k, v in torch_dec.state_dict().items()}
+    # our converter expects the reference's "<prefix>.layers.N" naming
+    params = convert_transformer_stack(
+        {f"x.{k}": v for k, v in sd.items()}, "x", L, prenorm)
+
+    flax_dec = TransformerDecoder(
+        num_layers=L, hidden_size=H, num_heads=HEADS, feedforward_size=FF,
+        dropout=0.0, norm_type="pre" if prenorm else "post",
+        dtype=jnp.float32)
+    mask = jnp.broadcast_to(jnp.tril(jnp.ones((T, T), bool))[None, None],
+                            (B, 1, T, T))
+    out = flax_dec.apply({"params": params},
+                         jnp.asarray(tgt.numpy()),
+                         jnp.asarray(memory.numpy()),
+                         mask, True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_conv_bn_matches_torch():
+    """torch Conv2d(OIHW, NCHW) + BatchNorm running stats vs our flax
+    NHWC path through the converter's kernel transpose."""
+    torch.manual_seed(1)
+    conv = tnn.Conv2d(3, 8, 3, stride=2, padding=1, bias=False)
+    bn = tnn.BatchNorm2d(8)
+    bn.running_mean.normal_(); bn.running_var.uniform_(0.5, 2.0)
+    bn.weight.data.normal_(); bn.bias.data.normal_()
+    conv.eval(); bn.eval()
+
+    x = torch.randn(2, 3, 16, 16)
+    with torch.no_grad():
+        ref = bn(conv(x)).numpy().transpose(0, 2, 3, 1)  # → NHWC
+
+    from flax import linen as nn
+    class Mini(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(8, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)], use_bias=False,
+                        name="conv1")(x)
+            return nn.BatchNorm(use_running_average=True, momentum=0.9,
+                                epsilon=1e-5, name="bn1")(x)
+
+    sd = {"conv1.weight": conv.weight.detach().numpy(),
+          "bn1.weight": bn.weight.detach().numpy(),
+          "bn1.bias": bn.bias.detach().numpy(),
+          "bn1.running_mean": bn.running_mean.numpy(),
+          "bn1.running_var": bn.running_var.numpy()}
+    from virtex_tpu.utils.checkpoint_convert import _t_conv
+    variables = {
+        "params": {"conv1": {"kernel": _t_conv(sd["conv1.weight"])},
+                   "bn1": {"scale": sd["bn1.weight"],
+                           "bias": sd["bn1.bias"]}},
+        "batch_stats": {"bn1": {"mean": sd["bn1.running_mean"],
+                                "var": sd["bn1.running_var"]}},
+    }
+    out = Mini().apply(jax.tree.map(jnp.asarray, variables),
+                       jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet_converter_naming_roundtrip():
+    """convert_resnet output keys must exactly match flax ResNet init
+    structure (tested for resnet18-style block names on synthetic dicts)."""
+    rng = np.random.RandomState(0)
+
+    def conv(o, i, k):
+        return rng.randn(o, i, k, k).astype(np.float32)
+
+    sd = {"conv1.weight": conv(64, 3, 7)}
+    for bn in ["bn1"]:
+        sd[f"{bn}.weight"] = np.ones(64, np.float32)
+        sd[f"{bn}.bias"] = np.zeros(64, np.float32)
+        sd[f"{bn}.running_mean"] = np.zeros(64, np.float32)
+        sd[f"{bn}.running_var"] = np.ones(64, np.float32)
+    # one basic block layer1.0 with two convs
+    for c, shapes in [("conv1", (64, 64, 3)), ("conv2", (64, 64, 3))]:
+        sd[f"layer1.0.{c}.weight"] = conv(*shapes)
+    for bn in ["layer1.0.bn1", "layer1.0.bn2"]:
+        sd[f"{bn}.weight"] = np.ones(64, np.float32)
+        sd[f"{bn}.bias"] = np.zeros(64, np.float32)
+        sd[f"{bn}.running_mean"] = np.zeros(64, np.float32)
+        sd[f"{bn}.running_var"] = np.ones(64, np.float32)
+
+    params, stats = convert_resnet(sd)
+    assert params["conv1"]["kernel"].shape == (7, 7, 3, 64)
+    assert "layer1_0" in params and "conv2" in params["layer1_0"]
+    assert stats["layer1_0"]["bn2"]["var"].shape == (64,)

@@ -1,0 +1,81 @@
+"""Metric tests: TopkAccuracy accumulation, PTB tokenization behavior,
+CIDEr golden values (perfect match → 10·100 scale; disjoint → 0)."""
+import numpy as np
+import pytest
+
+from virtex_tpu.utils.metrics import (
+    CocoCaptionsEvaluator,
+    TopkAccuracy,
+    cider,
+    ptb_tokenize,
+)
+
+
+def test_topk_accuracy():
+    acc = TopkAccuracy(top_k=1)
+    logits = np.array([[0.1, 0.9], [0.8, 0.2], [0.3, 0.7]])
+    acc(logits, np.array([1, 0, 0]))
+    assert acc.get_metric() == pytest.approx(100 * 2 / 3)
+    acc5 = TopkAccuracy(top_k=2)
+    acc5(logits, np.array([0, 1, 0]))
+    assert acc5.get_metric() == pytest.approx(100.0)
+    acc5.get_metric(reset=True)
+    assert acc5.num_total == 0
+
+
+def test_ptb_tokenize():
+    assert ptb_tokenize("A man, riding; a wave!") == \
+        ["a", "man", "riding", "a", "wave"]
+    assert ptb_tokenize("It's the dog's frisbee.") == \
+        ["it", "'s", "the", "dog", "'s", "frisbee"]
+    assert ptb_tokenize("don't stop") == ["do", "n't", "stop"]
+    assert ptb_tokenize("") == []
+
+
+def test_cider_perfect_match():
+    toks = "a red bus on the street".split()
+    preds = {1: toks, 2: "two dogs in a park".split()}
+    gts = {1: [toks], 2: ["two dogs in a park".split()]}
+    score = cider(preds, gts)
+    # identical candidate/reference: cosine 1 per n, length penalty 1 → 10
+    assert score == pytest.approx(10.0, rel=1e-6)
+
+
+def test_cider_disjoint_is_zero():
+    preds = {1: "x y z w".split()}
+    gts = {1: ["a b c d".split()]}
+    assert cider(preds, gts) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_cider_orders_candidates_sensibly():
+    gts = {1: ["a man riding a wave on a surfboard".split()],
+           2: ["two dogs running in the park".split()]}
+    good = {1: "a man riding a wave".split(),
+            2: "two dogs in the park".split()}
+    bad = {1: "completely unrelated words here".split(),
+           2: "other nonsense tokens appear".split()}
+    assert cider(good, gts) > cider(bad, gts)
+
+
+def test_evaluator_end_to_end():
+    gt = {1: ["a red bus on the street", "the red bus drives by"],
+          2: ["two dogs play with a frisbee"]}
+    ev = CocoCaptionsEvaluator(gt)
+    out = ev.evaluate([{"image_id": 1, "caption": "a red bus on the street"},
+                       {"image_id": 2,
+                        "caption": "two dogs play with a frisbee"}])
+    assert out["CIDEr"] > 300  # near-perfect matches on tiny corpus
+    assert "SPICE" in out
+
+
+def test_evaluator_accepts_annotation_file(tmp_path):
+    import json
+    ann = {"annotations": [
+        {"image_id": 1, "caption": "a cat sits"},
+        {"image_id": 1, "caption": "a cat sitting"},
+    ], "images": [{"id": 1}]}
+    p = tmp_path / "captions.json"
+    p.write_text(json.dumps(ann))
+    ev = CocoCaptionsEvaluator(str(p))
+    assert set(ev.ground_truth) == {1}
+    assert len(ev.ground_truth[1]) == 2

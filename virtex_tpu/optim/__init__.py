@@ -10,6 +10,7 @@ from virtex_tpu.optim.optimizer import (
     cnn_mask,
     decay_mask,
     lookahead,
+    lookahead_slow_params,
     param_path_names,
     scale_by_dual_lr,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "cnn_mask",
     "decay_mask",
     "lookahead",
+    "lookahead_slow_params",
     "param_path_names",
     "scale_by_dual_lr",
 ]

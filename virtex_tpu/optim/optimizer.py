@@ -119,6 +119,18 @@ def lookahead(k: int = 5, alpha: float = 0.5) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def lookahead_slow_params(opt_state, fallback_params=None):
+    """Extract the lookahead *slow* weights from an optimizer state
+    (reference ``lookahead.py:104-129`` evaluates downstream transfers on
+    slow weights). Returns ``fallback_params`` when the chain has no
+    lookahead transform."""
+    states = opt_state if isinstance(opt_state, (tuple, list)) else [opt_state]
+    for s in states:
+        if isinstance(s, LookaheadState):
+            return s.slow
+    return fallback_params
+
+
 def build_optimizer(
     params_template,
     optimizer_name: str = "sgd",

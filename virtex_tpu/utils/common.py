@@ -44,6 +44,13 @@ def common_parser(description: str = "") -> argparse.ArgumentParser:
     parser.add_argument("--coordinator-address", default=None)
     parser.add_argument("--num-processes", type=int, default=None)
     parser.add_argument("--process-id", type=int, default=None)
+    # Observability / debugging (SURVEY §5.1-5.2).
+    parser.add_argument("--profile-dir", default=None,
+                        help="Capture a jax.profiler trace of iterations "
+                             "10-20 into this directory.")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="Trap NaNs in compiled code "
+                             "(jax_debug_nans; slows execution).")
     return parser
 
 
