@@ -29,7 +29,6 @@ from virtex_tpu.engine import (
 )
 from virtex_tpu.factories import (
     DownstreamDatasetFactory,
-    OptimizerFactory,
     PretrainingModelFactory,
     VisualBackboneFactory,
 )
@@ -94,7 +93,24 @@ def main(_A) -> None:
         logger.warning(f"weight-init {_A.weight_init}: no checkpoint given, "
                        "training from random init")
 
-    tx = OptimizerFactory.from_config(_DOWNC, variables["params"])
+    # Downstream uses ONE learning rate: the reference strips the "visual."
+    # prefix by training `model.visual.cnn` directly, so its "cnn"-name dual
+    # LR never triggers (factories.py:526-529 comment). Mirror that by
+    # pinning cnn_lr = LR here.
+    from virtex_tpu.factories import LRSchedulerFactory
+    from virtex_tpu.optim import build_optimizer
+    tx = build_optimizer(
+        variables["params"],
+        optimizer_name=_DOWNC.OPTIM.OPTIMIZER_NAME,
+        schedule=LRSchedulerFactory.from_config(_DOWNC),
+        lr=_DOWNC.OPTIM.LR, cnn_lr=_DOWNC.OPTIM.LR,
+        weight_decay=_DOWNC.OPTIM.WEIGHT_DECAY,
+        no_decay_pattern=_DOWNC.OPTIM.NO_DECAY,
+        momentum=_DOWNC.OPTIM.SGD_MOMENTUM,
+        clip_norm=_DOWNC.OPTIM.CLIP_GRAD_NORM,
+        use_lookahead=_DOWNC.OPTIM.LOOKAHEAD.USE,
+        lookahead_k=_DOWNC.OPTIM.LOOKAHEAD.STEPS,
+        lookahead_alpha=_DOWNC.OPTIM.LOOKAHEAD.ALPHA)
     state = TrainState.create(variables["params"], variables["batch_stats"],
                               tx)
     train_step = make_train_step(model, tx, mesh)

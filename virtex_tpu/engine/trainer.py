@@ -41,7 +41,8 @@ def donation_supported() -> bool:
 
 def make_train_step(model, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
-                    donate: Optional[bool] = None) -> Callable:
+                    donate: Optional[bool] = None,
+                    jit: bool = True) -> Callable:
     """Build the jitted train step.
 
     With a mesh, output state/metrics shardings are pinned (params via
@@ -74,6 +75,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
             metrics[k] = v.astype(jnp.float32)
         return new_state, metrics
 
+    if not jit:
+        return train_step
     if donate is None:
         donate = donation_supported()
     donate_argnums = (0,) if donate else ()
