@@ -38,7 +38,8 @@ def main():
     _C = _flagship_config()
     model = PretrainingModelFactory.from_config(_C)
 
-    batch_size = 64 * n_chips
+    # 128/chip probed best on v5e (1743 img/s vs 1569 @ 64; 256 plateaus).
+    batch_size = 128 * n_chips
     batch = _synthetic_batch(batch_size, _C.DATA.IMAGE_CROP_SIZE,
                              _C.DATA.MAX_CAPTION_LENGTH)
 

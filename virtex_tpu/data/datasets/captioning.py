@@ -50,23 +50,9 @@ class CaptioningDataset:
         self.image_transform = image_transform or default_image_transform()
         self.max_caption_length = max_caption_length
 
-        # Native (C++) fused decode+augment fast path; None = off (the cv2
-        # path is the behavioral reference), True = require, "auto" = use if
-        # the library built.
-        self.native_pipeline = None
-        if use_native or use_native == "auto":
-            from virtex_tpu.data.native_pipeline import (
-                NativeCaptionTrainPipeline,
-                NativeEvalPipeline,
-                native_available,
-            )
-            if native_available():
-                self.native_pipeline = (
-                    NativeCaptionTrainPipeline(crop_size) if split == "train"
-                    else NativeEvalPipeline(crop_size))
-            elif use_native is True:
-                raise RuntimeError("native data-plane requested but the C++ "
-                                   "library failed to build")
+        from virtex_tpu.data.datasets._common import make_native_pipeline
+        self.native_pipeline = make_native_pipeline(use_native, split,
+                                                    crop_size)
 
         self.padding_idx = tokenizer.token_to_id("<unk>")
         self.sos_id = tokenizer.token_to_id("[SOS]")
@@ -79,22 +65,9 @@ class CaptioningDataset:
         self, idx: int, rng: Optional[np.random.RandomState] = None
     ) -> Dict[str, np.ndarray]:
         rng = rng or np.random
-        if self.native_pipeline is not None:
-            instance = self._dset.raw(idx)
-            image_id, captions = instance["image_id"], instance["captions"]
-            caption = captions[rng.randint(len(captions))]
-            image, caption = self.native_pipeline(
-                instance["jpeg"], caption, rng)
-        else:
-            instance = self._dset[idx]
-            image_id, image, captions = (
-                instance["image_id"],
-                instance["image"],
-                instance["captions"],
-            )
-            # One random caption per epoch (reference captioning.py:60).
-            caption = captions[rng.randint(len(captions))]
-            image, caption = self.image_transform(image, caption, rng)
+        from virtex_tpu.data.datasets._common import load_image_caption
+        image_id, image, caption = load_image_caption(
+            self._dset, idx, rng, self.image_transform, self.native_pipeline)
 
         tokens = [self.sos_id, *self.tokenizer.encode(caption), self.eos_id]
         tokens = tokens[: self.max_caption_length]

@@ -32,11 +32,16 @@ class MaskedLmDataset:
         mask_proportion: float = 0.15,
         mask_probability: float = 0.80,
         replace_probability: float = 0.10,
+        use_native=None,
+        crop_size: int = 224,
     ):
         self._dset = CocoCaptionsReader(data_root, split)
         self.tokenizer = tokenizer
         self.image_transform = image_transform or default_image_transform()
         self.max_caption_length = max_caption_length
+        from virtex_tpu.data.datasets._common import make_native_pipeline
+        self.native_pipeline = make_native_pipeline(use_native, split,
+                                                    crop_size)
 
         self.padding_idx = tokenizer.token_to_id("<unk>")
         self.sos_id = tokenizer.token_to_id("[SOS]")
@@ -55,14 +60,9 @@ class MaskedLmDataset:
         self, idx: int, rng: Optional[np.random.RandomState] = None
     ) -> Dict[str, np.ndarray]:
         rng = rng or np.random
-        instance = self._dset[idx]
-        image_id, image, captions = (
-            instance["image_id"],
-            instance["image"],
-            instance["captions"],
-        )
-        caption = captions[rng.randint(len(captions))]
-        image, caption = self.image_transform(image, caption, rng)
+        from virtex_tpu.data.datasets._common import load_image_caption
+        image_id, image, caption = load_image_caption(
+            self._dset, idx, rng, self.image_transform, self.native_pipeline)
 
         tokens = [self.sos_id, *self.tokenizer.encode(caption), self.eos_id]
         tokens = tokens[: self.max_caption_length]

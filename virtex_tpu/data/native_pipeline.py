@@ -24,15 +24,10 @@ from typing import Optional, Tuple
 import numpy as np
 
 from virtex_tpu.data.transforms import (
-    ColorJitter,
     HorizontalFlip,
     IMAGENET_COLOR_MEAN,
     IMAGENET_COLOR_STD,
-    Normalize,
 )
-
-_RAW_MEAN = np.zeros(3, np.float32)
-_RAW_STD = np.full(3, 1.0 / 255.0, np.float32)  # output in [0, 255] floats
 
 
 def sample_random_resized_crop(h: int, w: int, rng,
@@ -56,32 +51,52 @@ def sample_random_resized_crop(h: int, w: int, rng,
 
 
 class NativeCaptionTrainPipeline:
-    """(jpeg_bytes, caption, rng) → (normalized HWC float32, caption)."""
+    """(jpeg_bytes, caption, rng) → (normalized HWC float32, caption).
+
+    Everything — decode, crop, resize, flip, color jitter, normalize — runs
+    in ONE native call; only the augmentation *parameters* (crop rect, flip
+    bit, jitter factors, op order) are drawn here in numpy, matching the
+    semantics of the Python :class:`ColorJitter` (brightness/contrast/
+    saturation 0.4, hue 0.1, p=0.8, random op order)."""
 
     def __init__(self, crop_size: int = 224,
                  scale: Tuple[float, float] = (0.2, 1.0),
-                 flip_p: float = 0.5, use_jitter: bool = True):
+                 flip_p: float = 0.5, use_jitter: bool = True,
+                 brightness: float = 0.4, contrast: float = 0.4,
+                 saturation: float = 0.4, hue: float = 0.1,
+                 jitter_p: float = 0.8):
         from virtex_tpu import native
         self._native = native
         self.crop_size = crop_size
         self.scale = scale
         self.flip_p = flip_p
-        self.jitter = ColorJitter() if use_jitter else None
-        self.normalize = Normalize()
+        self.use_jitter = use_jitter
+        self.b, self.c, self.s, self.h = brightness, contrast, saturation, hue
+        self.jitter_p = jitter_p
         self._word_swap = HorizontalFlip(p=1.0)
+
+    def _sample_jitter(self, rng) -> Optional[np.ndarray]:
+        if not self.use_jitter or rng.uniform() >= self.jitter_p:
+            return None
+        order = rng.permutation(4)
+        return self._native.jitter_params(
+            order,
+            rng.uniform(1 - self.b, 1 + self.b) if self.b > 0 else 1.0,
+            rng.uniform(1 - self.c, 1 + self.c) if self.c > 0 else 1.0,
+            rng.uniform(1 - self.s, 1 + self.s) if self.s > 0 else 1.0,
+            rng.uniform(-self.h, self.h) if self.h > 0 else 0.0)
 
     def __call__(self, jpeg: bytes, caption: Optional[str], rng):
         h, w = self._native.jpeg_dims(jpeg)
         crop = sample_random_resized_crop(h, w, rng, self.scale)
         flip = bool(rng.uniform() < self.flip_p)
+        jitter = self._sample_jitter(rng)
         img = self._native.decode_transform(
-            jpeg, crop, self.crop_size, flip, mean=_RAW_MEAN, std=_RAW_STD)
-        img = np.clip(img, 0, 255).astype(np.uint8)
+            jpeg, crop, self.crop_size, flip,
+            mean=np.asarray(IMAGENET_COLOR_MEAN, np.float32),
+            std=np.asarray(IMAGENET_COLOR_STD, np.float32), jitter=jitter)
         if flip and caption is not None:
             caption = self._word_swap.swap_words(caption)
-        if self.jitter is not None:
-            img, caption = self.jitter(img, caption, rng)
-        img, caption = self.normalize(img, caption)
         return img, caption
 
 

@@ -138,7 +138,8 @@ class PretrainingDatasetFactory(Factory):
 
         kwargs = {"data_root": _C.DATA.ROOT, "split": split,
                   "image_transform": image_transform}
-        if name in {"virtex", "bicaptioning", "captioning"}:
+        if name != "multilabel_classification":
+            # caption-consuming datasets share the native C++ fast path
             kwargs.update(
                 use_native=("auto" if _C.DATA.USE_NATIVE_LOADER else None),
                 crop_size=_C.DATA.IMAGE_CROP_SIZE)

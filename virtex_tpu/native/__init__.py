@@ -49,7 +49,9 @@ def _load():
             lib = ctypes.CDLL(_LIB_PATH)
             lib.vtx_jpeg_dims.restype = ctypes.c_int
             lib.vtx_decode_crop_resize_normalize.restype = ctypes.c_int
+            lib.vtx_decode_crop_resize_jitter_normalize.restype = ctypes.c_int
             lib.vtx_batch_decode_transform.restype = ctypes.c_int
+            lib.vtx_batch_decode_transform_jitter.restype = ctypes.c_int
             _lib = lib
         except Exception as e:  # toolchain/libjpeg missing
             _load_error = str(e)
@@ -74,13 +76,26 @@ def jpeg_dims(data: bytes) -> Tuple[int, int]:
     return h.value, w.value
 
 
+def jitter_params(order, brightness: float, contrast: float,
+                  saturation: float, hue_shift: float) -> np.ndarray:
+    """Pack color-jitter parameters for the fused kernel: op order (a
+    permutation of 0..3), multiplicative factors, hue shift (fraction of
+    the hue circle)."""
+    return np.asarray([1.0, *[float(o) for o in order],
+                       brightness, contrast, saturation, hue_shift],
+                      np.float32)
+
+
 def decode_transform(data: bytes, crop: Optional[Tuple[int, int, int, int]],
                      out_size: int, flip: bool = False,
                      mean: np.ndarray = IMAGENET_MEAN,
-                     std: np.ndarray = IMAGENET_STD) -> np.ndarray:
-    """Fused decode → crop → resize(out_size²) → flip → normalize.
+                     std: np.ndarray = IMAGENET_STD,
+                     jitter: Optional[np.ndarray] = None) -> np.ndarray:
+    """Fused decode → crop → resize(out_size²) → flip → [color jitter] →
+    normalize.
 
-    crop = (y, x, h, w) in pixels, or None for the full image.
+    crop = (y, x, h, w) in pixels, or None for the full image;
+    jitter = optional 9-float array from :func:`jitter_params`.
     Returns float32 HWC.
     """
     lib = _load()
@@ -89,8 +104,11 @@ def decode_transform(data: bytes, crop: Optional[Tuple[int, int, int, int]],
     cy, cx, ch, cw = crop if crop is not None else (-1, -1, -1, -1)
     out = np.empty((out_size, out_size, 3), np.float32)
     buf = (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
-    rc = lib.vtx_decode_crop_resize_normalize(
-        buf, len(data), cy, cx, ch, cw, out_size, int(flip),
+    jp = (None if jitter is None else
+          np.ascontiguousarray(jitter, np.float32).ctypes.data_as(
+              ctypes.POINTER(ctypes.c_float)))
+    rc = lib.vtx_decode_crop_resize_jitter_normalize(
+        buf, len(data), cy, cx, ch, cw, out_size, int(flip), jp,
         mean.astype(np.float32).ctypes.data_as(
             ctypes.POINTER(ctypes.c_float)),
         std.astype(np.float32).ctypes.data_as(

@@ -107,6 +107,81 @@ void resize_normalize(const uint8_t* src, int src_h, int src_w,
   }
 }
 
+// --- color jitter (on the resized crop, [0,255] float HWC) -----------------
+
+void rgb_to_hsv(float r, float g, float b, float* h, float* s, float* v) {
+  float mx = std::max(r, std::max(g, b));
+  float mn = std::min(r, std::min(g, b));
+  float d = mx - mn;
+  *v = mx;
+  *s = mx <= 0.f ? 0.f : d / mx;
+  if (d <= 0.f) { *h = 0.f; return; }
+  float hh;
+  if (mx == r)      hh = (g - b) / d + (g < b ? 6.f : 0.f);
+  else if (mx == g) hh = (b - r) / d + 2.f;
+  else              hh = (r - g) / d + 4.f;
+  *h = hh / 6.f;  // [0, 1)
+}
+
+void hsv_to_rgb(float h, float s, float v, float* r, float* g, float* b) {
+  h = h - std::floor(h);
+  float hh = h * 6.f;
+  int i = int(hh) % 6;
+  float f = hh - std::floor(hh);
+  float p = v * (1.f - s), q = v * (1.f - s * f), t = v * (1.f - s * (1.f - f));
+  switch (i) {
+    case 0: *r = v; *g = t; *b = p; break;
+    case 1: *r = q; *g = v; *b = p; break;
+    case 2: *r = p; *g = v; *b = t; break;
+    case 3: *r = p; *g = q; *b = v; break;
+    case 4: *r = t; *g = p; *b = v; break;
+    default: *r = v; *g = p; *b = q; break;
+  }
+}
+
+// jitter params layout (9 floats): [enabled, op0, op1, op2, op3,
+// brightness_f, contrast_f, saturation_f, hue_shift]. Ops: 0=brightness,
+// 1=contrast, 2=saturation, 3=hue; applied in the given order on [0,255]
+// floats, matching the numpy ColorJitter reference semantics.
+void apply_jitter(float* img, int n_px, const float* jp) {
+  if (jp == nullptr || jp[0] == 0.f) return;
+  for (int k = 1; k <= 4; ++k) {
+    int op = int(jp[k]);
+    if (op == 0 && jp[5] != 1.f) {
+      float f = jp[5];
+      for (int i = 0; i < n_px * 3; ++i) img[i] *= f;
+    } else if (op == 1 && jp[6] != 1.f) {
+      double sum = 0.0;
+      for (int i = 0; i < n_px * 3; ++i) sum += img[i];
+      float mean = float(sum / (n_px * 3));
+      float f = jp[6];
+      for (int i = 0; i < n_px * 3; ++i)
+        img[i] = (img[i] - mean) * f + mean;
+    } else if (op == 2 && jp[7] != 1.f) {
+      float f = jp[7];
+      for (int i = 0; i < n_px; ++i) {
+        float* px = img + i * 3;
+        float gray = 0.299f * px[0] + 0.587f * px[1] + 0.114f * px[2];
+        px[0] = (px[0] - gray) * f + gray;
+        px[1] = (px[1] - gray) * f + gray;
+        px[2] = (px[2] - gray) * f + gray;
+      }
+    } else if (op == 3 && jp[8] != 0.f) {
+      float shift = jp[8];
+      for (int i = 0; i < n_px; ++i) {
+        float* px = img + i * 3;
+        float r = std::min(std::max(px[0], 0.f), 255.f) / 255.f;
+        float g = std::min(std::max(px[1], 0.f), 255.f) / 255.f;
+        float b = std::min(std::max(px[2], 0.f), 255.f) / 255.f;
+        float h, s, v;
+        rgb_to_hsv(r, g, b, &h, &s, &v);
+        hsv_to_rgb(h + shift, s, v, &r, &g, &b);
+        px[0] = r * 255.f; px[1] = g * 255.f; px[2] = b * 255.f;
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -132,13 +207,14 @@ int vtx_jpeg_dims(const uint8_t* buf, size_t len, int* h, int* w) {
 }
 
 // Fused: decode + crop(cy,cx,ch,cw) + bilinear resize to (out_size,
-// out_size) + optional horizontal flip + normalize. dst must hold
-// out_size*out_size*3 float32. Negative crop params mean "full image".
+// out_size) + optional horizontal flip + optional color jitter + normalize.
+// dst must hold out_size*out_size*3 float32. Negative crop params mean
+// "full image"; `jitter` may be null (see apply_jitter for the layout).
 // Returns 0 on success.
-int vtx_decode_crop_resize_normalize(
+int vtx_decode_crop_resize_jitter_normalize(
     const uint8_t* buf, size_t len, int cy, int cx, int ch, int cw,
-    int out_size, int flip, const float* mean, const float* std,
-    float* dst) {
+    int out_size, int flip, const float* jitter, const float* mean,
+    const float* std, float* dst) {
   std::vector<uint8_t> rgb;
   int h = 0, w = 0;
   if (!decode_rgb(buf, len, &rgb, &h, &w)) return 1;
@@ -146,10 +222,37 @@ int vtx_decode_crop_resize_normalize(
     cy = 0; cx = 0; ch = h; cw = w;
   }
   if (cy < 0 || cx < 0 || cy + ch > h || cx + cw > w) return 2;
-  float inv_std[3] = {1.0f / std[0], 1.0f / std[1], 1.0f / std[2]};
+  const bool jit = jitter != nullptr && jitter[0] != 0.f;
+  if (!jit) {
+    float inv_std[3] = {1.0f / std[0], 1.0f / std[1], 1.0f / std[2]};
+    resize_normalize(rgb.data(), h, w, cy, cx, ch, cw, out_size, flip != 0,
+                     mean, inv_std, dst);
+    return 0;
+  }
+  // jitter path: sample to [0,255] floats, jitter, then normalize in place.
+  float raw_mean[3] = {0.f, 0.f, 0.f};
+  float raw_inv_std[3] = {255.f, 255.f, 255.f};  // (x/255 - 0) * 255 = x
   resize_normalize(rgb.data(), h, w, cy, cx, ch, cw, out_size, flip != 0,
-                   mean, inv_std, dst);
+                   raw_mean, raw_inv_std, dst);
+  const int n_px = out_size * out_size;
+  apply_jitter(dst, n_px, jitter);
+  for (int i = 0; i < n_px; ++i) {
+    float* px = dst + i * 3;
+    for (int c = 0; c < 3; ++c) {
+      float v = std::min(std::max(px[c], 0.f), 255.f) / 255.f;
+      px[c] = (v - mean[c]) / std[c];
+    }
+  }
   return 0;
+}
+
+// Back-compat alias without jitter.
+int vtx_decode_crop_resize_normalize(
+    const uint8_t* buf, size_t len, int cy, int cx, int ch, int cw,
+    int out_size, int flip, const float* mean, const float* std,
+    float* dst) {
+  return vtx_decode_crop_resize_jitter_normalize(
+      buf, len, cy, cx, ch, cw, out_size, flip, nullptr, mean, std, dst);
 }
 
 // Batch variant: N images, per-image crop rects/flips, OpenMP-parallel.
@@ -167,6 +270,27 @@ int vtx_batch_decode_transform(
     int rc = vtx_decode_crop_resize_normalize(
         bufs[i], lens[i], rects[i * 4], rects[i * 4 + 1], rects[i * 4 + 2],
         rects[i * 4 + 3], out_size, flips[i], mean, std, out);
+    if (rc != 0) {
+      std::memset(out, 0, sizeof(float) * out_size * out_size * 3);
+      ++failures;
+    }
+  }
+  return failures;
+}
+
+// Batch variant with per-image jitter params (n*9 floats, or null).
+int vtx_batch_decode_transform_jitter(
+    const uint8_t** bufs, const size_t* lens, const int* rects,
+    const int* flips, const float* jitters, int n, int out_size,
+    const float* mean, const float* std, float* dst) {
+  int failures = 0;
+#pragma omp parallel for schedule(dynamic) reduction(+ : failures)
+  for (int i = 0; i < n; ++i) {
+    float* out = dst + size_t(i) * out_size * out_size * 3;
+    const float* jp = jitters ? jitters + i * 9 : nullptr;
+    int rc = vtx_decode_crop_resize_jitter_normalize(
+        bufs[i], lens[i], rects[i * 4], rects[i * 4 + 1], rects[i * 4 + 2],
+        rects[i * 4 + 3], out_size, flips[i], jp, mean, std, out);
     if (rc != 0) {
       std::memset(out, 0, sizeof(float) * out_size * out_size * 3);
       ++failures;
