@@ -1,0 +1,171 @@
+"""True end-to-end parity against the ACTUAL reference implementation.
+
+The reference repo is mounted read-only; its textual-head module is pure
+torch and importable. We instantiate the reference
+TransformerDecoderTextualHead, convert its weights with our converter, and
+require our flax TransformerTextualHead to reproduce its logits on the same
+inputs — the checkpoint-parity acceptance test of SURVEY §7.2, minus the
+torchvision CNN (not installed here; covered by conv/BN parity in
+test_convert.py)."""
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/reference")
+
+try:
+    from virtex.modules.textual_heads import TransformerDecoderTextualHead
+    HAVE_REFERENCE = True
+except Exception:  # reference tree not mounted (CI elsewhere)
+    HAVE_REFERENCE = False
+
+from virtex_tpu.modules.textual_heads import TransformerTextualHead
+from virtex_tpu.utils.checkpoint_convert import convert_virtex_checkpoint
+
+pytestmark = pytest.mark.skipif(not HAVE_REFERENCE,
+                                reason="reference repo not available")
+
+VIS, VOCAB, H, HEADS, FF, L, MAXLEN = 64, 50, 32, 4, 64, 2, 10
+
+
+@pytest.mark.parametrize("norm_type", ["post", "pre"])
+def test_textual_head_logits_match_reference(norm_type):
+    torch.manual_seed(0)
+    ref = TransformerDecoderTextualHead(
+        visual_feature_size=VIS,
+        vocab_size=VOCAB,
+        hidden_size=H,
+        num_layers=L,
+        attention_heads=HEADS,
+        feedforward_size=FF,
+        dropout=0.0,
+        norm_first=(norm_type == "pre"),
+        max_caption_length=MAXLEN,
+        padding_idx=0,
+    )
+    ref.eval()
+
+    B, T = 2, 6
+    g = torch.Generator().manual_seed(1)
+    visual = torch.randn(B, VIS, 2, 2, generator=g)  # reference is NCHW
+    tokens = torch.randint(4, VOCAB, (B, T), generator=g)
+    tokens[:, 0] = 1
+    tokens[0, -1] = 0  # padding
+    lengths = torch.tensor([T - 1, T])
+
+    with torch.no_grad():
+        ref_logits = ref(visual, tokens, lengths).numpy()
+
+    # reference state dict lives under "textual."-style names in checkpoints
+    sd = {f"textual.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    converted = convert_virtex_checkpoint(
+        {**sd,
+         # satisfy the resnet branch with a dummy stem (unused here)
+         "visual.cnn.conv1.weight": np.zeros((4, 3, 7, 7), np.float32),
+         "visual.cnn.bn1.weight": np.ones(4, np.float32),
+         "visual.cnn.bn1.bias": np.zeros(4, np.float32),
+         "visual.cnn.bn1.running_mean": np.zeros(4, np.float32),
+         "visual.cnn.bn1.running_var": np.ones(4, np.float32)},
+        num_layers=L, prenorm=(norm_type == "pre"))
+    params = converted["params"]["textual"]
+
+    ours = TransformerTextualHead(
+        visual_feature_size=VIS, vocab_size=VOCAB, hidden_size=H,
+        num_layers=L, attention_heads=HEADS, feedforward_size=FF,
+        dropout=0.0, norm_type=norm_type, mask_future_positions=True,
+        max_caption_length=MAXLEN, padding_idx=0, dtype=jnp.float32)
+
+    grid_nhwc = jnp.asarray(visual.numpy().transpose(0, 2, 3, 1))
+    out = ours.apply({"params": params}, grid_nhwc,
+                     jnp.asarray(tokens.numpy()),
+                     jnp.asarray(lengths.numpy()), deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), ref_logits,
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_reference_beam_search_semantics():
+    """Run the reference AutoRegressiveBeamSearch on the same toy Markov
+    step function used in test_decoding and require identical outputs from
+    our lax.while_loop implementation."""
+    from virtex.utils.beam_search import AutoRegressiveBeamSearch as RefBS
+
+    from virtex_tpu.utils.beam_search import AutoRegressiveBeamSearch
+
+    V, EOS, STEPS, K = 6, 2, 5, 3
+    rng = np.random.RandomState(3)
+    logits = rng.randn(V, V).astype(np.float32)
+    logits[:, EOS] -= 2.0
+    table = np.log(np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))
+
+    t_table = torch.tensor(table)
+
+    def ref_step(partial):  # (B*beams, t) prefixes → logprobs of next token
+        last = partial[:, -1]
+        return t_table[last]
+
+    ref_bs = RefBS(eos_index=EOS, max_steps=STEPS, beam_size=K,
+                   per_node_beam_size=2)
+    start = torch.full((2, 1), 1, dtype=torch.long)
+    ref_preds, ref_lp = ref_bs.search(start, ref_step)
+
+    j_table = jnp.asarray(table)
+
+    def our_step(last, position, state):
+        return j_table[last], state
+
+    ours = AutoRegressiveBeamSearch(eos_index=EOS, max_steps=STEPS,
+                                    beam_size=K, per_node_beam_size=2)
+    preds, lp = ours.search(jnp.asarray([1, 1], jnp.int32), our_step, {})
+
+    np.testing.assert_array_equal(np.asarray(preds),
+                                  ref_preds.numpy())
+    np.testing.assert_allclose(np.asarray(lp), ref_lp.numpy(), rtol=1e-4)
+
+
+def test_reference_nucleus_sampling_deterministic_path():
+    """With near-one-hot next-token distributions, multinomial sampling is
+    (a.s.) deterministic — the reference and our implementation must emit
+    the same sequence, exercising tail-drop, repetition mask, EOS latch."""
+    from virtex.utils.nucleus_sampling import (
+        AutoRegressiveNucleusSampling as RefNS,
+    )
+
+    from virtex_tpu.utils.nucleus_sampling import AutoRegressiveNucleusSampling
+
+    V, EOS, STEPS = 6, 2, 6
+    # chain: 1→4→5→3→EOS, with 40-logit margins (deterministic under top-p)
+    table = np.full((V, V), -20.0, np.float32)
+    table[1, 4] = 20.0
+    table[4, 5] = 20.0
+    table[5, 3] = 20.0
+    table[3, EOS] = 20.0
+    table[EOS, EOS] = 20.0
+
+    t_table = torch.tensor(table)
+
+    def ref_step(partial):
+        return t_table[partial[:, -1]]
+
+    ref_preds, _ = RefNS(eos_index=EOS, max_steps=STEPS,
+                         nucleus_size=0.9).search(
+        torch.full((2,), 1, dtype=torch.long), ref_step)
+
+    j_table = jnp.asarray(table)
+
+    def our_step(last, position, state):
+        return j_table[last], state
+
+    ours = AutoRegressiveNucleusSampling(eos_index=EOS, max_steps=STEPS,
+                                         nucleus_size=0.9)
+    preds, _ = ours.search(jnp.asarray([1, 1], jnp.int32), our_step, {},
+                           jax.random.PRNGKey(0))
+    got = np.asarray(preds)
+    ref = ref_preds.numpy()
+    # reference may early-stop with fewer than STEPS columns; ours pads EOS
+    assert (got[:, ref.shape[1]:] == EOS).all()
+    np.testing.assert_array_equal(got[:, :ref.shape[1]], ref)

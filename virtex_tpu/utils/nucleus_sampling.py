@@ -39,14 +39,10 @@ class AutoRegressiveNucleusSampling:
             logits = logits.astype(jnp.float32)
             V = logits.shape[-1]
 
-            # Repetition guard: never repeat the previous token
-            # (nucleus_sampling.py:104-106); skipped at t=0 where `last` is
-            # SOS (sampling SOS again is harmless but masked anyway).
-            logits = jnp.where(jax.nn.one_hot(last, V, dtype=bool),
-                               NEG_INF, logits)
-
-            # Top-p: sort desc, cumulative softmax, drop the tail strictly
-            # beyond p but always keep rank 0 (nucleus_sampling.py:78-91).
+            # Top-p on the RAW logits: sort desc, cumulative softmax, drop
+            # the tail strictly beyond p but always keep rank 0. `(cum −
+            # probs) > p` is exactly the reference's shift-right rule
+            # (nucleus_sampling.py:78-91).
             sort_ix = jnp.argsort(-logits, axis=-1)
             sorted_logits = jnp.take_along_axis(logits, sort_ix, axis=-1)
             probs = jax.nn.softmax(sorted_logits, axis=-1)
@@ -57,6 +53,11 @@ class AutoRegressiveNucleusSampling:
             drop = jnp.zeros_like(drop_sorted).at[
                 jnp.arange(B)[:, None], sort_ix].set(drop_sorted)
             filtered = jnp.where(drop, NEG_INF, logits)
+
+            # Repetition guard AFTER the tail-drop, like the reference
+            # (nucleus_sampling.py:95-101): never repeat the previous token.
+            filtered = jnp.where(jax.nn.one_hot(last, V, dtype=bool),
+                                 NEG_INF, filtered)
 
             rng, sample_rng = jax.random.split(rng)
             sampled = jax.random.categorical(sample_rng, filtered, axis=-1)
