@@ -1,0 +1,64 @@
+r"""
+Fused Pallas attention vs XLA einsum attention, at VirTex shapes
+(B·K beams × heads over ≤30 caption + 49 visual tokens) and larger.
+
+Usage: VIRTEX_TPU_PALLAS=1 python bench/attn_bench.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from virtex_tpu.utils.common import setup_compilation_cache
+
+
+def timeit(fn, *args, iters=50):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e6  # µs
+
+
+def main():
+    setup_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from virtex_tpu.ops import attention as A
+
+    results = []
+    for (B, Tq, Tk, N, D) in [
+        (128, 30, 30, 16, 64),    # self-attn, pretrain batch
+        (128, 30, 49, 16, 64),    # cross-attn, pretrain batch
+        (256, 30, 79, 32, 64),    # H2048 wide head
+    ]:
+        q = jax.random.normal(jax.random.PRNGKey(0), (B, Tq, N, D),
+                              jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), (B, Tk, N, D),
+                              jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (B, Tk, N, D),
+                              jnp.bfloat16)
+        mask = jnp.ones((B, 1, Tq, Tk), bool)
+
+        xla = jax.jit(lambda q, k, v: A.xla_attention(q, k, v, mask))
+        t_xla = timeit(xla, q, k, v)
+        row = {"shape": f"B{B} Tq{Tq} Tk{Tk} N{N} D{D}",
+               "xla_us": round(t_xla, 1)}
+        if os.environ.get("VIRTEX_TPU_PALLAS"):
+            fused = jax.jit(lambda q, k, v: A.fused_attention(q, k, v, mask))
+            row["pallas_us"] = round(timeit(fused, q, k, v), 1)
+            row["speedup"] = round(t_xla / row["pallas_us"], 2)
+        results.append(row)
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

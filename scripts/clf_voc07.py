@@ -58,10 +58,13 @@ def train_test_single_svm(args):
     clf.fit(feats_train, cls_labels)
 
     from sklearn.metrics import average_precision_score
-    test_labels = np.copy(tgts_test)
+    # exclude difficult/ignore instances from evaluation
+    # (reference clf_voc07.py:96-101), then {0 absent → −1}
+    keep = tgts_test != -1
+    test_labels = np.copy(tgts_test[keep])
     test_labels[test_labels == 0] = -1
-    ap = average_precision_score(test_labels,
-                                 clf.decision_function(feats_test))
+    ap = average_precision_score(
+        test_labels, clf.decision_function(feats_test[keep]))
     return cls_name, float(ap)
 
 

@@ -47,6 +47,7 @@ def main(_A) -> None:
 
     loader = DataLoader(dataset, _A.batch_size, shuffle=False,
                         num_workers=_A.cpu_workers, infinite=False,
+                        drop_last=False,
                         collate_fn=getattr(dataset, "collate_fn", None))
 
     model = PretrainingModelFactory.from_config(_C)

@@ -55,6 +55,41 @@ def make_fake_coco(root, n_images=8, size=(120, 160), splits=("train", "val"),
     return root
 
 
+def make_fake_voc07(root, n_images=10, n_classes=4, size=(100, 120), seed=1):
+    """Miniature VOC2007 layout: JPEGImages + ImageSets/Main one-vs-all
+    label files for trainval and test splits."""
+    rng = np.random.RandomState(seed)
+    os.makedirs(os.path.join(root, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(root, "ImageSets", "Main"), exist_ok=True)
+    names = [f"{i:06d}" for i in range(n_images)]
+    for name in names:
+        img = rng.randint(0, 255, (*size, 3), dtype=np.uint8)
+        cv2.imwrite(os.path.join(root, "JPEGImages", f"{name}.jpg"), img)
+    classes = [f"class{c}" for c in range(n_classes)]
+    for split in ("trainval", "test"):
+        for c, cls in enumerate(classes):
+            with open(os.path.join(root, "ImageSets", "Main",
+                                   f"{cls}_{split}.txt"), "w") as f:
+                for i, name in enumerate(names):
+                    raw = [1, -1, -1, 0][(i + c) % 4]  # present/absent/diff
+                    f.write(f"{name} {raw}\n")
+    return root
+
+
+def make_fake_imagenet(root, n_classes=3, n_per_class=4, size=(80, 90),
+                       seed=2):
+    """Miniature ImageNet folder layout: {split}/{wnid}/*.JPEG."""
+    rng = np.random.RandomState(seed)
+    for split in ("train", "val"):
+        for c in range(n_classes):
+            d = os.path.join(root, split, f"n{c:08d}")
+            os.makedirs(d, exist_ok=True)
+            for i in range(n_per_class):
+                img = rng.randint(0, 255, (*size, 3), dtype=np.uint8)
+                cv2.imwrite(os.path.join(d, f"img_{i}.JPEG"), img)
+    return root
+
+
 def make_tokenizer(tmp_path, vocab_size=300):
     from virtex_tpu.data.tokenizers import train_tokenizer
     return train_tokenizer(

@@ -94,6 +94,7 @@ class DataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         collate_fn: Optional[Callable] = None,
+        drop_last: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -101,6 +102,7 @@ class DataLoader:
         self.seed = seed
         self.prefetch = max(1, prefetch)
         self.infinite = infinite
+        self.drop_last = drop_last or infinite
         self.collate_fn = collate_fn or dataset.collate_fn
         self.sampler = ShardedSampler(
             len(dataset), shuffle=shuffle, seed=seed,
@@ -120,7 +122,9 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches_per_epoch = len(self)
-        if batches_per_epoch == 0:
+        shard_examples = len(self.dataset) // self.sampler.num_shards
+        remainder = 0 if self.drop_last else shard_examples % self.batch_size
+        if batches_per_epoch == 0 and remainder == 0:
             raise ValueError(
                 f"Dataset ({len(self.dataset)} examples / {self.sampler.num_shards} "
                 f"shards) smaller than batch size {self.batch_size}"
@@ -133,6 +137,9 @@ class DataLoader:
             while self.infinite or n < batches_per_epoch:
                 yield [next(index_stream) for _ in range(self.batch_size)]
                 n += 1
+            if remainder:
+                # final short batch (eval only; shapes trigger one recompile)
+                yield [next(index_stream) for _ in range(remainder)]
 
         if self.num_workers == 0:
             for idxs in batch_indices():

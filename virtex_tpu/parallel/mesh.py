@@ -97,12 +97,18 @@ def param_sharding(params: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a host batch with the batch dim sharded over 'data'.
+    """Lay a host batch out on the mesh with the batch dim sharded over
+    'data'.
 
-    Single-host path: ``jax.device_put`` with a NamedSharding. Multi-host
-    callers should use
-    ``jax.make_array_from_process_local_data`` (see
-    ``virtex_tpu.data.loader``) so each host contributes its local shard.
+    Single-host: plain ``device_put``. Multi-host: each host passes its
+    LOCAL slice of the global batch and
+    ``jax.make_array_from_process_local_data`` assembles the global sharded
+    array (the DistributedSampler replacement — each host reads only its
+    shard, SURVEY §5.8).
     """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
