@@ -253,6 +253,10 @@ def _default_config() -> CfgNode:
     # Use the native C++ fused decode+augment data-plane when the library is
     # available (virtex_tpu/native); falls back to the cv2/numpy path.
     _C.DATA.USE_NATIVE_LOADER = True
+    # Ship uint8 pixels to the device and fold ImageNet normalization into
+    # the backbone (4x less host->device traffic; normalization fuses into
+    # the stem conv). Off = reference behavior (host-side float32 feed).
+    _C.DATA.DEVICE_NORMALIZE = True
 
     # ----------------------------------------------------------------- MODEL
     _C.MODEL = CfgNode()

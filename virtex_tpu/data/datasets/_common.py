@@ -5,8 +5,20 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 
-def make_native_pipeline(use_native, split: str, crop_size: int):
+
+def image_array(image) -> np.ndarray:
+    """Dtype-preserving batch-ready cast: uint8 stays uint8 (device-side
+    normalization path), everything else becomes float32."""
+    image = np.asarray(image)
+    if image.dtype == np.uint8:
+        return image
+    return image.astype(np.float32)
+
+
+def make_native_pipeline(use_native, split: str, crop_size: int,
+                         emit_uint8: bool = False):
     """Resolve the native-pipeline option shared by the datasets.
 
     ``None``/False = off (cv2 path is the behavioral reference); ``"auto"``
@@ -20,8 +32,9 @@ def make_native_pipeline(use_native, split: str, crop_size: int):
         native_available,
     )
     if native_available():
-        return (NativeCaptionTrainPipeline(crop_size) if split == "train"
-                else NativeEvalPipeline(crop_size))
+        return (NativeCaptionTrainPipeline(crop_size, emit_uint8=emit_uint8)
+                if split == "train"
+                else NativeEvalPipeline(crop_size, emit_uint8=emit_uint8))
     if use_native is True:
         raise RuntimeError("native data-plane requested but the C++ library "
                            "failed to build")

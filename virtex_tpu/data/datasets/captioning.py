@@ -16,6 +16,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from virtex_tpu.data.datasets._common import image_array
+
 from virtex_tpu.data.readers import CocoCaptionsReader
 from virtex_tpu.data.tokenizers import SentencePieceBPETokenizer
 from virtex_tpu.data.transforms import Compose, default_image_transform
@@ -44,6 +46,7 @@ class CaptioningDataset:
         max_caption_length: int = 30,
         use_native: Optional[bool] = None,
         crop_size: int = 224,
+        emit_uint8: bool = False,
     ):
         self._dset = CocoCaptionsReader(data_root, split)
         self.tokenizer = tokenizer
@@ -52,7 +55,7 @@ class CaptioningDataset:
 
         from virtex_tpu.data.datasets._common import make_native_pipeline
         self.native_pipeline = make_native_pipeline(use_native, split,
-                                                    crop_size)
+                                                    crop_size, emit_uint8)
 
         self.padding_idx = tokenizer.token_to_id("<unk>")
         self.sos_id = tokenizer.token_to_id("[SOS]")
@@ -73,7 +76,7 @@ class CaptioningDataset:
         tokens = tokens[: self.max_caption_length]
         return {
             "image_id": np.asarray(image_id, dtype=np.int32),
-            "image": np.asarray(image, dtype=np.float32),
+            "image": image_array(image),
             "caption_tokens": np.asarray(tokens, dtype=np.int32),
             "noitpac_tokens": np.asarray(tokens[::-1], dtype=np.int32),
             "caption_lengths": np.asarray(len(tokens), dtype=np.int32),

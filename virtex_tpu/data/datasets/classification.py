@@ -19,6 +19,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from virtex_tpu.data.datasets._common import image_array
+
 from virtex_tpu.data.datasets.captioning import pad_stack
 from virtex_tpu.data.readers import CocoCaptionsReader, read_image_rgb
 from virtex_tpu.data.tokenizers import SentencePieceBPETokenizer
@@ -35,6 +37,7 @@ class TokenClassificationDataset:
         max_caption_length: int = 30,
         use_native=None,
         crop_size: int = 224,
+        emit_uint8: bool = False,
     ):
         self._dset = CocoCaptionsReader(data_root, split)
         self.tokenizer = tokenizer
@@ -42,7 +45,7 @@ class TokenClassificationDataset:
         self.max_caption_length = max_caption_length
         from virtex_tpu.data.datasets._common import make_native_pipeline
         self.native_pipeline = make_native_pipeline(use_native, split,
-                                                    crop_size)
+                                                    crop_size, emit_uint8)
 
         self.padding_idx = tokenizer.token_to_id("<unk>")
         self.sos_id = tokenizer.token_to_id("[SOS]")
@@ -63,7 +66,7 @@ class TokenClassificationDataset:
         tokens = tokens[: self.max_caption_length]
         return {
             "image_id": np.asarray(image_id, dtype=np.int32),
-            "image": np.asarray(image, dtype=np.float32),
+            "image": image_array(image),
             "labels": np.asarray(tokens, dtype=np.int32),
         }
 
@@ -128,7 +131,7 @@ class MultiLabelClassificationDataset:
         labels = self._labels[image_id]
         return {
             "image_id": np.asarray(image_id, dtype=np.int32),
-            "image": np.asarray(image, dtype=np.float32),
+            "image": image_array(image),
             "labels": np.asarray(labels, dtype=np.int32),
         }
 

@@ -17,6 +17,8 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
+from virtex_tpu.data.datasets._common import image_array
+
 from virtex_tpu.data.readers import read_image_rgb
 from virtex_tpu.data.transforms import Compose, default_image_transform
 
@@ -54,7 +56,7 @@ class ImageNetDataset:
         image = read_image_rgb(path)
         image, _ = self.image_transform(image, None, rng)
         return {
-            "image": np.asarray(image, dtype=np.float32),
+            "image": image_array(image),
             "label": np.asarray(label, dtype=np.int32),
         }
 
@@ -97,7 +99,7 @@ class INaturalist2018Dataset:
         image = read_image_rgb(self.image_id_to_file_path[image_id])
         image, _ = self.image_transform(image, None, rng)
         return {
-            "image": np.asarray(image, dtype=np.float32),
+            "image": image_array(image),
             "label": np.asarray(label, dtype=np.int32),
         }
 
@@ -151,7 +153,7 @@ class VOC07ClassificationDataset:
         image = read_image_rgb(image_path)
         image, _ = self.image_transform(image, None, rng)
         return {
-            "image": np.asarray(image, dtype=np.float32),
+            "image": image_array(image),
             "label": np.asarray(label, dtype=np.int32),
         }
 
@@ -174,7 +176,7 @@ class ImageDirectoryDataset:
         image_id = os.path.splitext(os.path.basename(image_path))[0]
         image = read_image_rgb(image_path)
         image, _ = self.image_transform(image, None, rng)
-        return {"image_id": str(image_id), "image": np.asarray(image, np.float32)}
+        return {"image_id": str(image_id), "image": image_array(image)}
 
     @staticmethod
     def collate_fn(data):

@@ -15,6 +15,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from virtex_tpu.data.datasets._common import image_array
+
 from virtex_tpu.data.datasets.captioning import pad_stack
 from virtex_tpu.data.readers import CocoCaptionsReader
 from virtex_tpu.data.tokenizers import SentencePieceBPETokenizer
@@ -34,6 +36,7 @@ class MaskedLmDataset:
         replace_probability: float = 0.10,
         use_native=None,
         crop_size: int = 224,
+        emit_uint8: bool = False,
     ):
         self._dset = CocoCaptionsReader(data_root, split)
         self.tokenizer = tokenizer
@@ -41,7 +44,7 @@ class MaskedLmDataset:
         self.max_caption_length = max_caption_length
         from virtex_tpu.data.datasets._common import make_native_pipeline
         self.native_pipeline = make_native_pipeline(use_native, split,
-                                                    crop_size)
+                                                    crop_size, emit_uint8)
 
         self.padding_idx = tokenizer.token_to_id("<unk>")
         self.sos_id = tokenizer.token_to_id("[SOS]")
@@ -90,7 +93,7 @@ class MaskedLmDataset:
 
         return {
             "image_id": np.asarray(image_id, dtype=np.int32),
-            "image": np.asarray(image, dtype=np.float32),
+            "image": image_array(image),
             "caption_tokens": np.asarray(tokens, dtype=np.int32),
             "masked_labels": np.asarray(masked_labels, dtype=np.int32),
             "caption_lengths": np.asarray(len(tokens), dtype=np.int32),

@@ -64,7 +64,7 @@ class NativeCaptionTrainPipeline:
                  flip_p: float = 0.5, use_jitter: bool = True,
                  brightness: float = 0.4, contrast: float = 0.4,
                  saturation: float = 0.4, hue: float = 0.1,
-                 jitter_p: float = 0.8):
+                 jitter_p: float = 0.8, emit_uint8: bool = False):
         from virtex_tpu import native
         self._native = native
         self.crop_size = crop_size
@@ -73,6 +73,9 @@ class NativeCaptionTrainPipeline:
         self.use_jitter = use_jitter
         self.b, self.c, self.s, self.h = brightness, contrast, saturation, hue
         self.jitter_p = jitter_p
+        # emit_uint8: skip normalization, return [0,255] uint8 pixels — the
+        # backbone normalizes on device (DATA.DEVICE_NORMALIZE).
+        self.emit_uint8 = emit_uint8
         self._word_swap = HorizontalFlip(p=1.0)
 
     def _sample_jitter(self, rng) -> Optional[np.ndarray]:
@@ -91,10 +94,18 @@ class NativeCaptionTrainPipeline:
         crop = sample_random_resized_crop(h, w, rng, self.scale)
         flip = bool(rng.uniform() < self.flip_p)
         jitter = self._sample_jitter(rng)
-        img = self._native.decode_transform(
-            jpeg, crop, self.crop_size, flip,
-            mean=np.asarray(IMAGENET_COLOR_MEAN, np.float32),
-            std=np.asarray(IMAGENET_COLOR_STD, np.float32), jitter=jitter)
+        if self.emit_uint8:
+            img = self._native.decode_transform(
+                jpeg, crop, self.crop_size, flip,
+                mean=np.zeros(3, np.float32),
+                std=np.full(3, 1 / 255.0, np.float32), jitter=jitter)
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        else:
+            img = self._native.decode_transform(
+                jpeg, crop, self.crop_size, flip,
+                mean=np.asarray(IMAGENET_COLOR_MEAN, np.float32),
+                std=np.asarray(IMAGENET_COLOR_STD, np.float32),
+                jitter=jitter)
         if flip and caption is not None:
             caption = self._word_swap.swap_words(caption)
         return img, caption
@@ -103,16 +114,24 @@ class NativeCaptionTrainPipeline:
 class NativeEvalPipeline:
     """smallest_resize(resize) + center_crop(crop) + normalize, one call."""
 
-    def __init__(self, crop_size: int = 224, resize_size: int = 256):
+    def __init__(self, crop_size: int = 224, resize_size: int = 256,
+                 emit_uint8: bool = False):
         from virtex_tpu import native
         self._native = native
         self.crop_size = crop_size
         self.resize_size = resize_size
+        self.emit_uint8 = emit_uint8
 
     def __call__(self, jpeg: bytes, caption: Optional[str], rng=None):
         h, w = self._native.jpeg_dims(jpeg)
         s = int(round(min(h, w) * self.crop_size / self.resize_size))
         y, x = (h - s) // 2, (w - s) // 2
+        if self.emit_uint8:
+            img = self._native.decode_transform(
+                jpeg, (y, x, s, s), self.crop_size, False,
+                mean=np.zeros(3, np.float32),
+                std=np.full(3, 1 / 255.0, np.float32))
+            return np.clip(img, 0, 255).astype(np.uint8), caption
         img = self._native.decode_transform(
             jpeg, (y, x, s, s), self.crop_size, False,
             mean=np.asarray(IMAGENET_COLOR_MEAN, np.float32),

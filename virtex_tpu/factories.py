@@ -103,12 +103,16 @@ class ImageTransformsFactory(Factory):
         return super().create(name, *args, **kwargs)
 
 
-def _compose_transforms(names: Iterable[str], crop_size: int) -> T.Compose:
+def _compose_transforms(names: Iterable[str], crop_size: int,
+                        drop_normalize: bool = False) -> T.Compose:
     """Compose named transforms; resize/crop transforms get the crop size
-    (reference ``factories.py:216-228``)."""
+    (reference ``factories.py:216-228``). ``drop_normalize`` skips the
+    normalize stage when DATA.DEVICE_NORMALIZE moves it onto the device."""
     out = []
     for name in names:
         base = name.split("::")[0]
+        if drop_normalize and base == "normalize":
+            continue
         if base in {"random_resized_crop", "center_crop", "global_resize",
                     "smallest_resize"}:
             out.append(ImageTransformsFactory.create(name, crop_size))
@@ -134,7 +138,8 @@ class PretrainingDatasetFactory(Factory):
         transform_names = (_C.DATA.IMAGE_TRANSFORM_TRAIN if split == "train"
                            else _C.DATA.IMAGE_TRANSFORM_VAL)
         image_transform = _compose_transforms(
-            transform_names, _C.DATA.IMAGE_CROP_SIZE)
+            transform_names, _C.DATA.IMAGE_CROP_SIZE,
+            drop_normalize=_C.DATA.DEVICE_NORMALIZE)
 
         kwargs = {"data_root": _C.DATA.ROOT, "split": split,
                   "image_transform": image_transform}
@@ -142,7 +147,8 @@ class PretrainingDatasetFactory(Factory):
             # caption-consuming datasets share the native C++ fast path
             kwargs.update(
                 use_native=("auto" if _C.DATA.USE_NATIVE_LOADER else None),
-                crop_size=_C.DATA.IMAGE_CROP_SIZE)
+                crop_size=_C.DATA.IMAGE_CROP_SIZE,
+                emit_uint8=_C.DATA.DEVICE_NORMALIZE)
         if name != "multilabel_classification":
             kwargs.update(
                 tokenizer=TokenizerFactory.from_config(_C),
@@ -178,7 +184,9 @@ class DownstreamDatasetFactory(Factory):
             raise KeyError(f"No downstream dataset for root {root!r}")
         names = (_C.DATA.IMAGE_TRANSFORM_TRAIN if "train" in split
                  else _C.DATA.IMAGE_TRANSFORM_VAL)
-        transform = _compose_transforms(names, _C.DATA.IMAGE_CROP_SIZE)
+        transform = _compose_transforms(
+            names, _C.DATA.IMAGE_CROP_SIZE,
+            drop_normalize=_C.DATA.DEVICE_NORMALIZE)
         return cls.PRODUCTS[key](data_root=root, split=split,
                                  image_transform=transform)
 

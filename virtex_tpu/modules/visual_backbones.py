@@ -41,6 +41,12 @@ class ResNetVisualBackbone(nn.Module):
         self.cnn = make_resnet(self.name_or_arch, dtype=self.dtype)
 
     def __call__(self, image: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        # uint8 feed path: ImageNet normalization happens HERE on device
+        # (fuses into the stem conv) so the host ships 4x fewer bytes.
+        if jnp.issubdtype(image.dtype, jnp.integer):
+            mean = jnp.asarray([0.485, 0.456, 0.406], self.dtype)
+            std = jnp.asarray([0.229, 0.224, 0.225], self.dtype)
+            image = (image.astype(self.dtype) / 255.0 - mean) / std
         if self.frozen:
             out = self.cnn(image, train=False)
             return jax.lax.stop_gradient(out)
