@@ -1,0 +1,79 @@
+"""Model zoo + hub API tests: config resolution, model construction,
+pretrained loading from a local orbax checkpoint and from a converted torch
+state dict."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from virtex_tpu import model_zoo
+from virtex_tpu.model_zoo.model_zoo import _MODEL_ZOO_CONFIGS, _configs_root
+
+
+def test_zoo_covers_reference_families():
+    families = {p.split("/")[0] for p in _MODEL_ZOO_CONFIGS}
+    assert families == {"task_ablations", "width_ablations",
+                        "depth_ablations", "backbone_ablations"}
+    assert len(_MODEL_ZOO_CONFIGS) == 16  # reference model_zoo.py:35-60
+    # every zoo config file actually exists
+    for rel in _MODEL_ZOO_CONFIGS:
+        assert os.path.exists(os.path.join(_configs_root(), rel)), rel
+
+
+def test_zoo_get_builds_model():
+    model, variables, cfg = model_zoo.get(
+        "width_ablations/bicaptioning_R_50_L1_H512.yaml", pretrained=False,
+        overrides=["DATA.IMAGE_CROP_SIZE", 64, "DATA.MAX_CAPTION_LENGTH", 8,
+                   "MODEL.VISUAL.NAME", "torchvision::resnet18",
+                   "MODEL.VISUAL.FEATURE_SIZE", 512])
+    assert cfg.MODEL.TEXTUAL.NAME == "transdec_postnorm::L1_H512_A8_F2048"
+    assert model.caption_backward
+    assert "textual" in variables["params"]
+    assert "backward_transformer" in variables["params"]["textual"]
+
+
+def test_zoo_pretrained_requires_dir(monkeypatch):
+    monkeypatch.delenv("VIRTEX_TPU_ZOO_DIR", raising=False)
+    with pytest.raises(RuntimeError, match="VIRTEX_TPU_ZOO_DIR"):
+        model_zoo.get("width_ablations/bicaptioning_R_50_L1_H512.yaml",
+                      pretrained=True,
+                      overrides=["DATA.IMAGE_CROP_SIZE", 64,
+                                 "MODEL.VISUAL.NAME", "torchvision::resnet18",
+                                 "MODEL.VISUAL.FEATURE_SIZE", 512])
+
+
+def test_zoo_loads_torch_pth(tmp_path):
+    """A reference-style torch .pth checkpoint loads through the converter
+    (tiny synthetic model)."""
+    import torch
+
+    sys_path = None
+    import sys
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    try:
+        from virtex.modules.textual_heads import TransformerDecoderTextualHead
+    except Exception:
+        pytest.skip("reference not available")
+
+    head = TransformerDecoderTextualHead(
+        visual_feature_size=512, vocab_size=100, hidden_size=32,
+        num_layers=1, attention_heads=4, feedforward_size=64, dropout=0.0,
+        max_caption_length=8, padding_idx=0)
+    sd = {f"textual.{k}": v for k, v in head.state_dict().items()}
+    torch.save({"model": sd}, tmp_path / "ckpt.pth")
+
+    model, variables, cfg = model_zoo.get(
+        "width_ablations/bicaptioning_R_50_L1_H512.yaml", pretrained=True,
+        checkpoint_path=str(tmp_path / "ckpt.pth"),
+        overrides=["DATA.IMAGE_CROP_SIZE", 64, "DATA.MAX_CAPTION_LENGTH", 8,
+                   "DATA.VOCAB_SIZE", 100,
+                   "MODEL.VISUAL.NAME", "torchvision::resnet18",
+                   "MODEL.VISUAL.FEATURE_SIZE", 512,
+                   "MODEL.TEXTUAL.NAME", "transdec_postnorm::L1_H32_A4_F64"])
+    got = variables["params"]["textual"]["visual_projection"]["kernel"]
+    want = head.visual_projection.weight.detach().numpy().T
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)

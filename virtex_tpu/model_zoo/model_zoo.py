@@ -119,6 +119,7 @@ def _zoo_checkpoint_path(config_path: str) -> str:
 
 
 def _load_weights(path: str, variables, _C: Config):
+    import jax
     import jax.numpy as jnp
 
     if path.endswith(".pth") or os.path.isfile(path):

@@ -129,7 +129,10 @@ def convert_virtex_checkpoint(sd: Dict[str, np.ndarray],
     (``virtex/models/captioning.py:57-63``).
     """
     sd = {k: np.asarray(v) for k, v in sd.items()}
-    cnn_params, cnn_stats = convert_resnet(sd, prefix="visual.cnn.")
+    if f"visual.cnn.conv1.weight" in sd:
+        cnn_params, cnn_stats = convert_resnet(sd, prefix="visual.cnn.")
+    else:  # textual-only checkpoint (partial load)
+        cnn_params, cnn_stats = {}, {}
 
     textual: Dict[str, Any] = {
         "visual_projection": {
