@@ -23,8 +23,9 @@ REFERENCE_IMG_PER_SEC_PER_CHIP = 110.0
 
 
 def main():
-    from virtex_tpu.utils.common import setup_compilation_cache
+    from virtex_tpu.utils.common import setup_compilation_cache, setup_fast_rng
     setup_compilation_cache()
+    setup_fast_rng()
     from __graft_entry__ import _flagship_config, _synthetic_batch
     from virtex_tpu.engine import TrainState, initialize_model, make_train_step
     from virtex_tpu.factories import (
