@@ -169,3 +169,31 @@ def test_reference_nucleus_sampling_deterministic_path():
     # reference may early-stop with fewer than STEPS columns; ours pads EOS
     assert (got[:, ref.shape[1]:] == EOS).all()
     np.testing.assert_array_equal(got[:, :ref.shape[1]], ref)
+
+
+def test_reference_cider_parity():
+    """Our pure-python CIDEr-D must match the reference's implementation
+    numerically on a random corpus."""
+    from virtex.utils.metrics import cider as ref_cider
+
+    from virtex_tpu.utils.metrics import cider
+
+    rng = np.random.RandomState(0)
+    vocab = ["cat", "dog", "red", "bus", "park", "man", "wave", "the", "a",
+             "on", "in"]
+
+    def sentence(k):
+        return " ".join(rng.choice(vocab, size=k))
+
+    gts, preds = {}, {}
+    for img in range(8):
+        gts[img] = [sentence(rng.randint(4, 10)) for _ in range(3)]
+        preds[img] = [sentence(rng.randint(4, 10))]
+    # a couple of exact matches for non-trivial scores
+    preds[0] = [gts[0][0]]
+    preds[1] = [gts[1][2]]
+
+    ref_score = ref_cider(preds, gts)
+    our_score = cider({k: v[0].split() for k, v in preds.items()},
+                      {k: [s.split() for s in v] for k, v in gts.items()})
+    np.testing.assert_allclose(our_score, ref_score, rtol=1e-6)
