@@ -68,6 +68,37 @@ def test_batch_api_and_error_slots():
     assert np.abs(out[2]).sum() == 0  # failed slot zeroed
 
 
+def test_native_jitter_matches_numpy_reference(rng):
+    """The in-kernel color jitter must match the numpy ColorJitter ops for
+    fixed parameters (hue within HSV-quantization tolerance)."""
+    from virtex_tpu import native
+    from virtex_tpu.data.transforms import _shift_hue
+
+    data, img = jpeg_bytes(h=64, w=64, seed=21)
+    dec = cv2.imdecode(np.frombuffer(data, np.uint8),
+                       cv2.IMREAD_COLOR)[:, :, ::-1].astype(np.float32)
+
+    order = [0, 1, 2, 3]
+    b, c, s, h = 1.3, 0.8, 1.2, 0.05
+    jp = native.jitter_params(order, b, c, s, h)
+    out = native.decode_transform(
+        data, None, 64, False,
+        mean=np.zeros(3, np.float32), std=np.full(3, 1 / 255., np.float32),
+        jitter=jp)
+
+    # numpy reference: same op order on the same decoded image
+    ref = dec.copy()
+    ref = ref * b
+    mean = ref.mean()
+    ref = (ref - mean) * c + mean
+    gray = ref @ np.array([0.299, 0.587, 0.114], np.float32)
+    ref = (ref - gray[..., None]) * s + gray[..., None]
+    ref = _shift_hue(ref, h)
+    diff = np.abs(out - ref)
+    assert np.median(diff) < 3.0  # hue quantization differences only
+    assert np.mean(diff) < 6.0
+
+
 def test_rrc_param_sampler_bounds(rng):
     for _ in range(50):
         y, x, ch, cw = sample_random_resized_crop(100, 150, rng)
