@@ -17,7 +17,6 @@ import json
 import time
 
 import jax
-import numpy as np
 
 REFERENCE_IMG_PER_SEC_PER_CHIP = 110.0
 

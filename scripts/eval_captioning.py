@@ -21,7 +21,7 @@ import numpy as np
 from virtex_tpu.config import Config
 from virtex_tpu.data import ImageDirectoryDataset
 from virtex_tpu.data.loader import DataLoader
-from virtex_tpu.engine import TrainState, initialize_model, load_checkpoint
+from virtex_tpu.engine import initialize_model
 from virtex_tpu.engine.captioner import decode_predictions, make_caption_fn
 from virtex_tpu.factories import (
     CaptionDecoderFactory,

@@ -22,10 +22,9 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-import numpy as np
 
 from virtex_tpu.config import Config
-from virtex_tpu.engine import initialize_model, load_model_variables
+from virtex_tpu.engine import load_model_variables
 from virtex_tpu.factories import VisualBackboneFactory
 from virtex_tpu.modules.visual_backbones import detectron2_backbone_state_dict
 from virtex_tpu.utils.common import common_parser, common_setup
@@ -81,7 +80,6 @@ def main(_A) -> None:
         return
 
     # --- detectron2 available: mirror the reference driver ----------------
-    from detectron2 import model_zoo as d2_zoo  # noqa
     from detectron2.config import get_cfg
     from detectron2.engine import DefaultTrainer, default_setup
 

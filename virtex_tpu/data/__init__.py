@@ -10,7 +10,9 @@ from virtex_tpu.data.datasets.downstream import (
     VOC07ClassificationDataset,
 )
 from virtex_tpu.data.datasets.masked_lm import MaskedLmDataset
-from virtex_tpu.data.tokenizers import SentencePieceBPETokenizer
+from virtex_tpu.data.loader import DataLoader, ShardedSampler
+from virtex_tpu.data.readers import CocoCaptionsReader
+from virtex_tpu.data.tokenizers import SentencePieceBPETokenizer, train_tokenizer
 
 __all__ = [
     "CaptioningDataset",
@@ -21,5 +23,9 @@ __all__ = [
     "INaturalist2018Dataset",
     "VOC07ClassificationDataset",
     "MaskedLmDataset",
+    "DataLoader",
+    "ShardedSampler",
+    "CocoCaptionsReader",
     "SentencePieceBPETokenizer",
+    "train_tokenizer",
 ]

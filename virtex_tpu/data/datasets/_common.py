@@ -3,8 +3,6 @@ r"""Shared loading helpers for the caption-consuming pretext datasets
 epoch + image augmentation, optionally through the native C++ data-plane."""
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 

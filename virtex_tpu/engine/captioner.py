@@ -11,13 +11,12 @@ search runs as one compiled ``lax.while_loop`` on device.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from virtex_tpu.utils.beam_search import AutoRegressiveBeamSearch
-from virtex_tpu.utils.nucleus_sampling import AutoRegressiveNucleusSampling
 
 
 def make_caption_fn(model, decoder, sos_index: int = 1):

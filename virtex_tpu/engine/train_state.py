@@ -8,7 +8,7 @@ a pure jittable function and checkpoints a single serialisable object.
 """
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -16,17 +16,16 @@ choice.
 """
 from __future__ import annotations
 
-import functools
 import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from virtex_tpu.engine.train_state import TrainState
-from virtex_tpu.parallel.mesh import batch_sharding, param_sharding, replicated
+from virtex_tpu.parallel.mesh import param_sharding, replicated
 
 
 def donation_supported() -> bool:

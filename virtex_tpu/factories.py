@@ -14,7 +14,7 @@ from __future__ import annotations
 import ast
 import re
 from functools import partial
-from typing import Any, Callable, Dict, Iterable, List, Optional
+from typing import Any, Callable, Dict, Iterable
 
 import jax.numpy as jnp
 
@@ -144,13 +144,12 @@ class PretrainingDatasetFactory(Factory):
         kwargs = {"data_root": _C.DATA.ROOT, "split": split,
                   "image_transform": image_transform}
         if name != "multilabel_classification":
-            # caption-consuming datasets share the native C++ fast path
+            # caption-consuming datasets share the native C++ fast path and
+            # take the tokenizer (reference factories.py:231-243)
             kwargs.update(
                 use_native=("auto" if _C.DATA.USE_NATIVE_LOADER else None),
                 crop_size=_C.DATA.IMAGE_CROP_SIZE,
-                emit_uint8=_C.DATA.DEVICE_NORMALIZE)
-        if name != "multilabel_classification":
-            kwargs.update(
+                emit_uint8=_C.DATA.DEVICE_NORMALIZE,
                 tokenizer=TokenizerFactory.from_config(_C),
                 max_caption_length=_C.DATA.MAX_CAPTION_LENGTH)
         if name == "masked_lm":

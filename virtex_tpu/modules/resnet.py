@@ -24,7 +24,7 @@ resnext101_32x8d.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ deep-copies the head and re-assigns shared submodules after the fact
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -18,7 +18,7 @@ key-padding mask, cross-attention over the 49 projected visual tokens
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ Detectron2 on GPU hosts.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ and exactly resumable (no scheduler state to checkpoint).
 """
 from __future__ import annotations
 
-from bisect import bisect_right
 from typing import Callable, Sequence
 
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ pytree (no fast/slow wrapper as in ``optax.lookahead``).
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Dict, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ import logging
 import os
 import random
 import sys
-from typing import Any, Iterable, Iterator, Optional
+from typing import Any, Iterator, Optional
 
 import numpy as np
 
