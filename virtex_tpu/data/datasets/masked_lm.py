@@ -32,7 +32,7 @@ class MaskedLmDataset:
         image_transform: Optional[Compose] = None,
         max_caption_length: int = 30,
         mask_proportion: float = 0.15,
-        mask_probability: float = 0.80,
+        mask_probability: float = 0.85,
         replace_probability: float = 0.10,
         use_native=None,
         crop_size: int = 224,
