@@ -34,12 +34,17 @@ class CheckpointManager:
         best_metric_mode: 'max' (reference semantics, checkpointing.py:95).
     """
 
-    def __init__(self, serialization_dir: str, keep_recent: int = 100):
+    def __init__(self, serialization_dir: str, keep_recent: int = 100,
+                 async_save: bool = True):
         self.serialization_dir = os.path.abspath(serialization_dir)
         os.makedirs(self.serialization_dir, exist_ok=True)
         self.keep_recent = keep_recent
         self.best_metric: Optional[float] = None
-        self._ckpt = ocp.StandardCheckpointer()
+        self.async_save = async_save
+        self._ckpt = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+                      if async_save else ocp.StandardCheckpointer())
+        self._reader = ocp.StandardCheckpointer()  # sync restores
+        self._pending: Optional[Tuple[int, Optional[float]]] = None
 
     # -- save ---------------------------------------------------------------
     def _path(self, name) -> str:
@@ -48,23 +53,40 @@ class CheckpointManager:
     def step(self, state: Any, iteration: int,
              metric: Optional[float] = None) -> None:
         """Serialise ``state`` at ``iteration``; track rolling best by
-        ``metric`` (higher is better); prune old checkpoints."""
+        ``metric`` (higher is better); prune old checkpoints.
+
+        With ``async_save`` (default) the write happens in a background
+        thread — training resumes immediately (SURVEY §5.3: async
+        checkpointing for preemptible TPU VMs); best/prune bookkeeping for a
+        save is deferred until the next ``step``/``wait`` so in-flight
+        directories are never touched.
+        """
+        self.wait_until_finished()
         tree = {"state": jax.device_get(state),
                 "iteration": np.asarray(iteration, np.int32)}
         path = self._path(iteration)
         if os.path.exists(path):
             shutil.rmtree(path)
         self._ckpt.save(path, tree)
-        self._ckpt.wait_until_finished()
+        self._pending = (iteration, metric)
+        if not self.async_save:
+            self.wait_until_finished()
 
+    def wait_until_finished(self) -> None:
+        """Block until the in-flight save commits, then run deferred
+        best-tracking and pruning."""
+        self._ckpt.wait_until_finished()
+        if self._pending is None:
+            return
+        iteration, metric = self._pending
+        self._pending = None
         if metric is not None and (self.best_metric is None
                                    or metric > self.best_metric):
             self.best_metric = float(metric)
             best = self._path("best")
             if os.path.exists(best):
                 shutil.rmtree(best)
-            shutil.copytree(path, best)
-
+            shutil.copytree(self._path(iteration), best)
         self._prune()
 
     def _numbered(self) -> List[int]:
@@ -91,7 +113,8 @@ class CheckpointManager:
         (``checkpointing.py:127-174``): the template defines what is
         restored."""
         path = os.path.abspath(path)
-        tree = self._ckpt.restore(
+        self.wait_until_finished()
+        tree = self._reader.restore(
             path,
             target={"state": state_template,
                     "iteration": np.asarray(0, np.int32)})
