@@ -101,6 +101,7 @@ def test_checkpoint_prune_and_best(tmp_path, trained):
     mgr.step(state, 1, metric=0.5)
     mgr.step(state, 2, metric=0.9)
     mgr.step(state, 3, metric=0.7)
+    mgr.wait_until_finished()  # commit the async save + deferred prune
     entries = sorted(os.listdir(str(tmp_path / "ck2")))
     assert "checkpoint_1" not in entries  # pruned
     assert {"checkpoint_2", "checkpoint_3", "checkpoint_best"} <= set(entries)

@@ -103,8 +103,15 @@ class CheckpointManager:
             shutil.rmtree(self._path(it), ignore_errors=True)
 
     def latest(self) -> Optional[str]:
+        self.wait_until_finished()  # in-flight saves commit under tmp names
         numbered = self._numbered()
         return self._path(numbered[-1]) if numbered else None
+
+    def __del__(self):
+        try:
+            self.wait_until_finished()
+        except Exception:
+            pass
 
     # -- load ---------------------------------------------------------------
     def load(self, path: str, state_template: Any) -> Tuple[Any, int]:
