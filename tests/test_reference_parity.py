@@ -100,6 +100,13 @@ def test_reference_beam_search_semantics():
     rng = np.random.RandomState(3)
     logits = rng.randn(V, V).astype(np.float32)
     logits[:, EOS] -= 2.0
+    # Make the globally-best sequence START from the 3rd-ranked first token:
+    # first-step ranks ≈ [a, b, c, ...], but token c leads into a huge-
+    # probability chain. Catches step-0 explorations narrower than top-K.
+    order = np.argsort(-logits[1])
+    third = order[2]
+    logits[third, :] = -3.0
+    logits[third, order[0]] = 6.0  # c → best chain continues strongly
     table = np.log(np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))
 
     t_table = torch.tensor(table)

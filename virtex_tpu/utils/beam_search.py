@@ -62,11 +62,28 @@ class AutoRegressiveBeamSearch:
         K, P = self.beam_size, self.per_node_beam_size
         eos = self.eos_index
 
-        # Beam-expanded last-token input: (B, K) flattened to (B·K,).
-        last = jnp.tile(start_tokens[:, None], (1, K))
-        # Beam scores: only beam 0 live at step 0.
-        scores = jnp.full((B, K), NEG_INF, jnp.float32).at[:, 0].set(0.0)
+        # ---- step 0, peeled out of the loop (reference beam_search.py:
+        # 119-127): all K beams are identical copies of the start token, so
+        # the first expansion takes the top-K of ONE distribution — the
+        # in-loop per-node top-P would only ever explore P < K first tokens.
+        start_flat = jnp.tile(start_tokens[:, None], (1, K)).reshape(B * K)
+        logprobs0, state = step_fn(start_flat, jnp.asarray(0, jnp.int32),
+                                   state)
+        V = logprobs0.shape[-1]
+        lp0 = logprobs0.reshape(B, K, V)[:, 0, :].astype(jnp.float32)
+        lp0 = lp0 + REPETITION_PENALTY * jax.nn.one_hot(
+            start_tokens, V, dtype=jnp.float32)
+        k0 = min(K, V)  # degenerate tiny-vocab case: K may exceed V
+        scores, last = jax.lax.top_k(lp0, k0)                   # (B, k0)
+        if k0 < K:
+            scores = jnp.concatenate(
+                [scores, jnp.full((B, K - k0), NEG_INF, jnp.float32)], axis=1)
+            last = jnp.concatenate(
+                [last, jnp.tile(last[:, -1:], (1, K - k0))], axis=1)
         preds = jnp.full((B, K, self.max_steps), eos, jnp.int32)
+        preds = preds.at[:, :, 0].set(last)
+        # state needs no reorder: every beam's step-0 cache entry is the
+        # same start-token update.
 
         def body(carry):
             t, last, scores, preds, state = carry
@@ -79,8 +96,9 @@ class AutoRegressiveBeamSearch:
                 last, V, dtype=jnp.float32)
 
             # EOS-absorbing: a finished beam only extends with EOS at zero
-            # added cost (so its score freezes).
-            finished = (last == eos) & (t > 0)
+            # added cost (so its score freezes). The loop starts at t=1, so
+            # `last` is always a real prediction here.
+            finished = last == eos
             after_end = jnp.full((V,), NEG_INF).at[eos].set(0.0)
             logprobs = jnp.where(finished[..., None], after_end[None, None],
                                  logprobs)
@@ -108,12 +126,11 @@ class AutoRegressiveBeamSearch:
 
         def cond(carry):
             t, last, scores, preds, state = carry
-            all_eos = jnp.all((last == eos) & (t > 0))
-            return (t < self.max_steps) & ~all_eos
+            return (t < self.max_steps) & ~jnp.all(last == eos)
 
         t, last, scores, preds, state = jax.lax.while_loop(
             cond, body,
-            (jnp.asarray(0, jnp.int32), last, scores, preds, state))
+            (jnp.asarray(1, jnp.int32), last, scores, preds, state))
 
         if only_return_best:
             return preds[:, 0, :], scores[:, 0]
