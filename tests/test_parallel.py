@@ -81,6 +81,13 @@ def test_dp_tp_train_step_executes():
         assert s.spec == P(DATA_AXIS)
         variables = initialize_model(model, sharded, jax.random.PRNGKey(0),
                                      mesh)
+        # TP rules actually applied: attention QKV kernels sharded on the
+        # model axis, conv kernels replicated
+        qkv = variables["params"]["textual"]["transformer"]["layer_0"][
+            "self_attn"]["query"]["kernel"]
+        assert qkv.sharding.spec == P(None, MODEL_AXIS)
+        conv = variables["params"]["visual"]["cnn"]["conv1"]["kernel"]
+        assert conv.sharding.spec == P()
         tx = build_optimizer(variables["params"], "sgd",
                              make_schedule("none", 10, 0), lr=0.01,
                              cnn_lr=0.01, use_lookahead=False)

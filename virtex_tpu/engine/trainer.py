@@ -102,15 +102,19 @@ def make_eval_step(model) -> Callable:
 
 def initialize_model(model, sample_batch, rng,
                      mesh: Optional[Mesh] = None) -> TrainState:
-    """Init variables (optionally laid out on the mesh) without optimizer."""
+    """Init variables, laid out on the mesh: params follow the
+    tensor-parallel rules of :func:`param_sharding` (no-op when the model
+    axis is 1 → fully replicated = pure DP), everything else replicated.
+    Optimizer state created from these params inherits their shardings."""
 
     def init_fn(batch):
         return model.init(rng, batch, train=False)
 
     if mesh is not None:
-        out_shardings = jax.tree.map(
-            lambda _: replicated(mesh),
-            jax.eval_shape(init_fn, sample_batch))
+        shapes = jax.eval_shape(init_fn, sample_batch)
+        out_shardings = jax.tree.map(lambda _: replicated(mesh), shapes)
+        if "params" in shapes:
+            out_shardings["params"] = param_sharding(shapes["params"], mesh)
         variables = jax.jit(init_fn, out_shardings=out_shardings)(sample_batch)
     else:
         variables = jax.jit(init_fn)(sample_batch)
