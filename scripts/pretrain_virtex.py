@@ -34,6 +34,7 @@ from virtex_tpu.factories import (
     OptimizerFactory,
     PretrainingDatasetFactory,
     PretrainingModelFactory,
+    TokenizerFactory,
 )
 from virtex_tpu.parallel import create_mesh, shard_batch
 from virtex_tpu.utils import distributed as dist
@@ -41,6 +42,33 @@ from virtex_tpu.utils.common import common_parser, common_setup
 from virtex_tpu.utils.timer import Timer
 
 logger = logging.getLogger("virtex_tpu")
+
+
+_TOKENIZER_CACHE = {}
+
+
+def log_val_predictions(model, state, batch, _C, k: int = 3) -> None:
+    """Log a few argmax val predictions vs ground truth (the reference's
+    log_predictions helper, ``captioning.py:215-231``)."""
+    try:
+        import numpy as np
+
+        out = model.apply({"params": state.params,
+                           "batch_stats": state.batch_stats},
+                          batch, train=False)
+        preds = np.asarray(jax.device_get(out.get("predictions")))[:k]
+        if "caption_tokens" not in batch:
+            return
+        gts = np.asarray(jax.device_get(batch["caption_tokens"]))[:k]
+        tok = _TOKENIZER_CACHE.setdefault(
+            _C.DATA.TOKENIZER_MODEL, TokenizerFactory.from_config(_C))
+        specials = {_C.DATA.UNK_INDEX, _C.DATA.SOS_INDEX, _C.DATA.EOS_INDEX}
+        for p_row, g_row in zip(preds, gts):
+            p = tok.decode([int(t) for t in p_row if t not in specials])
+            g = tok.decode([int(t) for t in g_row if t not in specials])
+            logger.info(f'  pred: "{p}"  |  gt: "{g}"')
+    except Exception as e:  # logging must never kill training
+        logger.warning(f"log_val_predictions failed: {e}")
 
 
 def build_summary_writer(serialization_dir):
@@ -132,9 +160,16 @@ def main(_A) -> None:
                 dist.synchronize()
                 # Validation sweep (loss over val split).
                 val_metrics = []
+                logged_preds = False
                 for val_batch in val_loader_factory():
-                    m = eval_step(state, shard_batch(val_batch, mesh))
+                    sharded_val = shard_batch(val_batch, mesh)
+                    m = eval_step(state, sharded_val)
                     val_metrics.append(jax.device_get(m))
+                    if not logged_preds and dist.is_master_process():
+                        # reference log_predictions (captioning.py:215-231):
+                        # show a few argmax predictions next to ground truth
+                        log_val_predictions(model, state, sharded_val, _C)
+                        logged_preds = True
                 if val_metrics:
                     mean = {k: float(np.mean([m[k] for m in val_metrics]))
                             for k in val_metrics[0]}
