@@ -1,0 +1,68 @@
+"""KV-cached beam search must produce identical captions to a reference
+searcher that re-runs the FULL transformer on every growing prefix (the
+reference's decoding strategy, captioning.py:191-213) on the same weights."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from virtex_tpu.engine.captioner import make_caption_fn
+from virtex_tpu.factories import CaptionDecoderFactory
+from virtex_tpu.models import ForwardCaptioningModel
+from virtex_tpu.modules import ResNetVisualBackbone, TransformerTextualHead
+from virtex_tpu.utils.beam_search import AutoRegressiveBeamSearch
+
+VOCAB, MAXLEN, BEAMS = 40, 7, 4
+
+
+def test_kv_cache_beam_equals_full_prefix_beam():
+    model = ForwardCaptioningModel(
+        visual=ResNetVisualBackbone("resnet18", dtype=jnp.float32),
+        textual=TransformerTextualHead(
+            visual_feature_size=512, vocab_size=VOCAB, hidden_size=32,
+            num_layers=2, attention_heads=4, feedforward_size=64,
+            dropout=0.0, max_caption_length=MAXLEN, dtype=jnp.float32))
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    tokens = rng.randint(4, VOCAB, (2, MAXLEN)).astype(np.int32)
+    tokens[:, 0] = 1
+    batch = {"image": images, "caption_tokens": jnp.asarray(tokens),
+             "noitpac_tokens": jnp.asarray(tokens[:, ::-1].copy()),
+             "caption_lengths": jnp.full((2,), MAXLEN, jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    decoder = AutoRegressiveBeamSearch(eos_index=2, max_steps=MAXLEN,
+                                       beam_size=BEAMS)
+    # fast path: compiled KV cache
+    fast = make_caption_fn(model, decoder, sos_index=1)
+    fast_preds = np.asarray(fast(variables, images))
+
+    # reference-style path: full-prefix re-forward each step, same beam algo
+    grid = model.apply(variables, images, method="encode_visual")
+    grid_t = jnp.repeat(grid, BEAMS, axis=0)
+    B = images.shape[0]
+
+    prefix_buf = np.full((B * BEAMS, MAXLEN), 0, np.int32)
+    prefix_buf[:, 0] = 1  # SOS
+
+    def slow_step(last_tokens, position, state):
+        buf = state["buf"]
+        # append last emitted token at `position` (position 0 = SOS query)
+        buf = buf.at[:, position].set(
+            jnp.where(position == 0, buf[:, 0], last_tokens))
+        length = position + 1
+        lengths = jnp.full((B * BEAMS,), length, jnp.int32)
+        logits = model.textual.apply(
+            {"params": variables["params"]["textual"]},
+            grid_t, buf, lengths, True)
+        # logits at the last real position
+        step_logits = logits[jnp.arange(B * BEAMS), length - 1]
+        return jax.nn.log_softmax(step_logits.astype(jnp.float32)), {
+            "buf": buf}
+
+    state = {"buf": jnp.asarray(prefix_buf)}
+    slow_preds, slow_scores = decoder.search(
+        jnp.full((B,), 1, jnp.int32), slow_step, state)
+
+    np.testing.assert_array_equal(fast_preds, np.asarray(slow_preds))
