@@ -53,9 +53,20 @@ def main(_A) -> None:
     model = PretrainingModelFactory.from_config(_C)
     decoder = CaptionDecoderFactory.from_config(_C)
 
-    sample = next(iter(loader))
-    batch = {k: jax.numpy.asarray(v) for k, v in sample.items()}
-    variables = initialize_model(model, batch, jax.random.PRNGKey(0))
+    # Synthetic init batch shaped by the config (the directory dataset has
+    # no caption keys, and string image_ids are not jax-able).
+    T = _C.DATA.MAX_CAPTION_LENGTH
+    toks = np.full((1, T), _C.DATA.EOS_INDEX, np.int32)
+    toks[:, 0] = _C.DATA.SOS_INDEX
+    init_batch = {
+        "image": jax.numpy.zeros((1, _C.DATA.IMAGE_CROP_SIZE,
+                                  _C.DATA.IMAGE_CROP_SIZE, 3),
+                                 jax.numpy.float32),
+        "caption_tokens": jax.numpy.asarray(toks),
+        "noitpac_tokens": jax.numpy.asarray(toks[:, ::-1].copy()),
+        "caption_lengths": jax.numpy.full((1,), T, jax.numpy.int32),
+    }
+    variables = initialize_model(model, init_batch, jax.random.PRNGKey(0))
     if _A.checkpoint_path:
         from virtex_tpu.engine import load_model_variables
         template = {"params": variables["params"],
