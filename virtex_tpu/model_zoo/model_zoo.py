@@ -49,6 +49,12 @@ _MODEL_ZOO_CONFIGS: Dict[str, str] = {
 
 
 def _configs_root() -> str:
+    """Repo-relative configs dir; $VIRTEX_TPU_CONFIGS_DIR overrides for
+    pip-installed deployments (the reference ships configs by symlinking
+    them into the package at setup time, setup.py:9-39)."""
+    env = os.environ.get("VIRTEX_TPU_CONFIGS_DIR")
+    if env:
+        return env
     return os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), "configs")
 
