@@ -46,6 +46,24 @@ def test_downstream_config_loads(path):
     assert cfg.DATA.ROOT
 
 
+REFERENCE_CONFIGS = sorted(
+    glob.glob("/root/reference/configs/*.yaml")
+    + glob.glob("/root/reference/configs/*_ablations/*.yaml"))
+
+
+@pytest.mark.skipif(not REFERENCE_CONFIGS,
+                    reason="reference repo not mounted")
+@pytest.mark.parametrize("path", REFERENCE_CONFIGS,
+                         ids=[os.path.basename(p) for p in REFERENCE_CONFIGS])
+def test_reference_config_files_load_unchanged(path):
+    """Drop-in config compatibility: the reference's own pretraining YAMLs
+    (schema incl. AMP/CUDNN keys, _BASE_ inheritance) build our models."""
+    cfg = Config(path)
+    model = PretrainingModelFactory.from_config(cfg)
+    assert model is not None
+    TextualHeadFactory.from_config(cfg)
+
+
 def test_width_ablation_grammar_values():
     cfg = Config(os.path.join(
         REPO, "configs", "width_ablations", "bicaptioning_R_50_L1_H2048.yaml"))
