@@ -39,7 +39,7 @@ class SentencePieceBPETokenizer:
 
     def __init__(self, model_path: str):
         self.model_path = model_path
-        self._tok = Tokenizer.from_file(model_path)
+        self._tok = _load_tokenizer_file(model_path)
 
     # Pickle safety for multiprocess data loading: serialize only the path.
     def __getstate__(self) -> Dict[str, Any]:
@@ -49,7 +49,7 @@ class SentencePieceBPETokenizer:
 
     def __setstate__(self, state: Dict[str, Any]) -> None:
         self.__dict__ = state
-        self._tok = Tokenizer.from_file(self.model_path)
+        self._tok = _load_tokenizer_file(self.model_path)
 
     def get_vocab_size(self) -> int:
         return self._tok.get_vocab_size()
@@ -71,6 +71,55 @@ class SentencePieceBPETokenizer:
         """Convert token ids back into a caption, skipping special tokens."""
         ids = [int(t) for t in token_ids if int(t) > MASK_INDEX]
         return self._tok.decode(ids, skip_special_tokens=True).strip()
+
+
+def _load_tokenizer_file(model_path: str) -> Tokenizer:
+    """Load a vocabulary file: HF-tokenizers JSON (our native format) or a
+    binary SentencePiece ``.model`` from the reference toolchain
+    (``scripts/build_vocabulary.py`` there trains SentencePiece BPE).
+
+    The SP proto is parsed without the sentencepiece runtime (via the proto
+    schema transformers ships); BPE merges are reconstructed from the piece
+    table — pieces are stored in merge-creation order, so every split of a
+    composite piece whose halves exist is a valid merge candidate, ranked by
+    the merged piece's id (the same extraction HF's converters use).
+    """
+    with open(model_path, "rb") as f:
+        head = f.read(64)
+    if head.lstrip()[:1] == b"{":  # JSON → native format
+        return Tokenizer.from_file(model_path)
+    return _tokenizer_from_sentencepiece(model_path)
+
+
+def _tokenizer_from_sentencepiece(model_path: str) -> Tokenizer:
+    from transformers.utils import sentencepiece_model_pb2_new as spb
+
+    proto = spb.ModelProto()
+    with open(model_path, "rb") as f:
+        proto.ParseFromString(f.read())
+
+    pieces = [(p.piece, p.score) for p in proto.pieces]
+    vocab = {piece: i for i, (piece, _) in enumerate(pieces)}
+
+    model_type = proto.trainer_spec.model_type  # 1=unigram, 2=bpe
+    if model_type == 1:
+        tok = Tokenizer(models.Unigram(pieces, unk_id=UNK_INDEX))
+    else:
+        merges = []
+        for piece, pid in vocab.items():
+            if len(piece) < 2:
+                continue
+            for split in range(1, len(piece)):
+                left, right = piece[:split], piece[split:]
+                if left in vocab and right in vocab:
+                    merges.append((pid, vocab[left], vocab[right],
+                                   (left, right)))
+        merges = [m[3] for m in sorted(merges)]
+        tok = Tokenizer(models.BPE(vocab, merges, unk_token="<unk>",
+                                   fuse_unk=True))
+    tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="\u2581")
+    tok.decoder = decoders.Metaspace(replacement="\u2581")
+    return tok
 
 
 def preprocess_caption(text: str, lower: bool = True, strip_accents: bool = True) -> str:
