@@ -101,6 +101,110 @@ def test_conv_bn_matches_torch():
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
+class TorchBottleneck(tnn.Module):
+    """torchvision-layout Bottleneck (same parameter names, stride on conv2
+    = the 'v1.5' placement, downsample = [conv, bn]) for converter parity.
+    Exercises the SURVEY §7 'hard parts': downsample ordering and BN
+    running-stat conventions at full-block scale."""
+
+    def __init__(self, cin, planes, stride):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride, padding=1,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU()
+        self.downsample = tnn.Sequential(
+            tnn.Conv2d(cin, planes * 4, 1, stride=stride, bias=False),
+            tnn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        idt = self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + idt)
+
+
+def test_full_bottleneck_block_matches_torch():
+    torch.manual_seed(3)
+    block = TorchBottleneck(cin=16, planes=8, stride=2)
+    # randomize BN stats/affine so eval mode is non-trivial
+    for bn in [block.bn1, block.bn2, block.bn3, block.downsample[1]]:
+        bn.running_mean.normal_(std=0.1)
+        bn.running_var.uniform_(0.5, 1.5)
+        bn.weight.data.normal_(1.0, 0.1)
+        bn.bias.data.normal_(0.0, 0.1)
+    block.eval()
+
+    x = torch.randn(2, 16, 10, 10)
+    with torch.no_grad():
+        ref = block(x).numpy().transpose(0, 2, 3, 1)
+
+    # rename to the torchvision "layer1.0.*" convention our converter reads
+    sd = {}
+    for k, v in block.state_dict().items():
+        k = k.replace("downsample.0.", "downsample.0.").replace(
+            "downsample.1.", "downsample.1.")
+        sd[f"layer1.0.{k}"] = v.numpy()
+    # converter needs the stem too
+    sd.update({
+        "conv1.weight": np.zeros((4, 3, 7, 7), np.float32),
+        "bn1.weight": np.ones(4, np.float32),
+        "bn1.bias": np.zeros(4, np.float32),
+        "bn1.running_mean": np.zeros(4, np.float32),
+        "bn1.running_var": np.ones(4, np.float32),
+    })
+    params, stats = convert_resnet(sd)
+
+    from virtex_tpu.modules.resnet import Bottleneck
+    from functools import partial
+    import flax.linen as fnn
+    flax_block = Bottleneck(
+        planes=8, stride=2, downsample=True,
+        conv=partial(fnn.Conv, dtype=jnp.float32),
+        norm=partial(fnn.BatchNorm, use_running_average=True,
+                     momentum=0.9, epsilon=1e-5, dtype=jnp.float32))
+    out = flax_block.apply(
+        {"params": params["layer1_0"],
+         "batch_stats": stats["layer1_0"]},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_stem_conv_maxpool_matches_torch():
+    """torchvision stem semantics: 7×7 s2 p3 conv then MaxPool2d(3, 2, 1)
+    — window placement and −inf padding must match flax's max_pool."""
+    torch.manual_seed(5)
+    conv = tnn.Conv2d(3, 8, 7, stride=2, padding=3, bias=False)
+    pool = tnn.MaxPool2d(3, stride=2, padding=1)
+    x = torch.randn(2, 3, 33, 33)  # odd size exercises edge windows
+    with torch.no_grad():
+        ref = pool(conv(x)).numpy().transpose(0, 2, 3, 1)
+
+    from flax import linen as fnn
+    import jax
+
+    class Stem(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            x = fnn.Conv(8, (7, 7), strides=(2, 2),
+                         padding=[(3, 3), (3, 3)], use_bias=False,
+                         name="conv1")(x)
+            return fnn.max_pool(x, (3, 3), strides=(2, 2),
+                                padding=[(1, 1), (1, 1)])
+
+    from virtex_tpu.utils.checkpoint_convert import _t_conv
+    out = Stem().apply(
+        {"params": {"conv1": {"kernel": jnp.asarray(
+            _t_conv(conv.weight.detach().numpy()))}}},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
 def test_resnet_converter_naming_roundtrip():
     """convert_resnet output keys must exactly match flax ResNet init
     structure (tested for resnet18-style block names on synthetic dicts)."""
