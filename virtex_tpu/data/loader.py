@@ -195,16 +195,5 @@ class DataLoader:
         return self._counter
 
 
-def device_put_sharded(batch: Dict[str, np.ndarray], sharding=None):
-    """Move a host batch onto devices, laid out by ``sharding`` (a
-    ``jax.sharding.NamedSharding`` over the batch axis). In the multi-host
-    case the local batch is this host's shard of the global array."""
-    import jax
-
-    if sharding is None:
-        return jax.tree.map(jax.device_put, batch)
-    if jax.process_count() > 1:
-        return jax.tree.map(
-            lambda x: jax.make_array_from_process_local_data(sharding, x), batch
-        )
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+# Device placement of host batches lives in virtex_tpu.parallel.shard_batch
+# (single-host device_put / multi-host make_array_from_process_local_data).
