@@ -55,10 +55,10 @@ _DST_Q_DIMS = (((1,), (1,)), ((0,), (0,)))
 
 
 def pallas_available() -> bool:
-    """Opt-in: set VIRTEX_TPU_PALLAS=1 to route attention through the Pallas
-    kernel on TPU (see module docstring for measured numbers)."""
-    if not os.environ.get("VIRTEX_TPU_PALLAS"):
-        return False
+    """Default ON for TPU: the batched-heads kernel measured +3.4% on the
+    full train step vs the XLA attention path (in-kernel dropout avoids the
+    separate RNG materialisation). VIRTEX_TPU_NO_PALLAS=1 falls back to the
+    XLA einsum path."""
     if os.environ.get("VIRTEX_TPU_NO_PALLAS"):
         return False
     try:
