@@ -52,7 +52,7 @@ def main():
         t_xla = timeit(xla, q, k, v)
         row = {"shape": f"B{B} Tq{Tq} Tk{Tk} N{N} D{D}",
                "xla_us": round(t_xla, 1)}
-        if os.environ.get("VIRTEX_TPU_PALLAS"):
+        if A.pallas_available():
             fused = jax.jit(lambda q, k, v: A.fused_attention(q, k, v, mask))
             row["pallas_us"] = round(timeit(fused, q, k, v), 1)
             row["speedup"] = round(t_xla / row["pallas_us"], 2)
