@@ -14,7 +14,6 @@ from __future__ import annotations
 import glob
 import json
 import os
-from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -92,43 +91,45 @@ class MultiLabelClassificationDataset:
         image_transform: Optional[Compose] = None,
     ):
         self.image_transform = image_transform or default_image_transform()
+        self.padding_idx = 0  # slot 0 = background / pad
 
-        image_filenames = glob.glob(os.path.join(data_root, f"{split}2017", "*.jpg"))
-        self.id_filename: List[Tuple[int, str]] = [
-            (int(os.path.basename(name)[:-4]), name) for name in image_filenames
-        ]
         with open(
             os.path.join(data_root, "annotations", f"instances_{split}2017.json")
         ) as f:
-            _annotations = json.load(f)
+            coco = json.load(f)
 
-        # Remap COCO category ids (sparse 1-90) to contiguous 1..80; 0 is
-        # reserved for background / padding.
-        _category_ids = {
-            ann["id"]: index + 1
-            for index, ann in enumerate(_annotations["categories"])
-        }
-        labels: Dict[int, List[int]] = defaultdict(list)
-        for ann in _annotations["annotations"]:
-            labels[ann["image_id"]].append(_category_ids[ann["category_id"]])
+        # COCO category ids are sparse over 1..90; give each a dense slot in
+        # 1..80 by position in the annotation file (behavioral parity with
+        # reference ``classification.py:118-150``, restructured).
+        slot_of: Dict[int, int] = {}
+        for cat in coco["categories"]:
+            slot_of[cat["id"]] = len(slot_of) + 1
 
-        self._labels = {
-            _id: sorted(set(lbl)) for _id, lbl in labels.items() if len(lbl) > 0
-        }
-        self.id_filename = [t for t in self.id_filename if t[0] in self._labels]
-        self.padding_idx = 0
+        # Distinct category slots present in each annotated image.
+        slots_by_image: Dict[int, set] = {}
+        for ann in coco["annotations"]:
+            slots_by_image.setdefault(ann["image_id"], set()).add(
+                slot_of[ann["category_id"]])
+
+        # One sample per on-disk jpg that carries at least one instance
+        # label; unannotated images are dropped.
+        self._samples: List[Tuple[int, str, Tuple[int, ...]]] = []
+        for path in glob.glob(os.path.join(data_root, f"{split}2017", "*.jpg")):
+            image_id = int(os.path.splitext(os.path.basename(path))[0])
+            slots = slots_by_image.get(image_id)
+            if slots:
+                self._samples.append((image_id, path, tuple(sorted(slots))))
 
     def __len__(self) -> int:
-        return len(self.id_filename)
+        return len(self._samples)
 
     def __getitem__(
         self, idx: int, rng: Optional[np.random.RandomState] = None
     ) -> Dict[str, np.ndarray]:
         rng = rng or np.random
-        image_id, filename = self.id_filename[idx]
-        image = read_image_rgb(filename)
+        image_id, path, labels = self._samples[idx]
+        image = read_image_rgb(path)
         image, _ = self.image_transform(image, None, rng)
-        labels = self._labels[image_id]
         return {
             "image_id": np.asarray(image_id, dtype=np.int32),
             "image": image_array(image),

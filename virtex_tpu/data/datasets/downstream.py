@@ -12,7 +12,6 @@ from __future__ import annotations
 import glob
 import json
 import os
-from collections import defaultdict
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -113,6 +112,13 @@ class VOC07ClassificationDataset:
     VOC convention (reference ``downstream.py:118-199``).
     """
 
+    # Raw VOC convention → training target:
+    #   raw  1 (present)          → +1 positive
+    #   raw -1 (absent)           →  0 negative
+    #   raw  0 (difficult)        → -1 ignore
+    # An image never mentioned by a class listing also lands on -1 ignore.
+    _REMAP = {1: 1, -1: 0, 0: -1}
+
     def __init__(
         self,
         data_root: str = "datasets/VOC2007",
@@ -122,28 +128,37 @@ class VOC07ClassificationDataset:
         self.split = split
         self.image_transform = image_transform or default_image_transform()
 
-        ann_paths = sorted(
-            glob.glob(os.path.join(data_root, "ImageSets", "Main", f"*_{split}.txt"))
-        )
-        self.class_names = [os.path.basename(p).split("_")[0] for p in ann_paths]
+        # Parse each per-class listing ``<class>_<split>.txt`` into a
+        # {image stem: remapped flag} table (behavioral parity with
+        # reference ``downstream.py:140-175``, restructured).
+        listing_glob = os.path.join(
+            data_root, "ImageSets", "Main", f"*_{split}.txt")
+        flags_by_class: Dict[str, Dict[str, int]] = {}
+        for listing in sorted(glob.glob(listing_glob)):
+            cls = os.path.basename(listing).split("_")[0]
+            table: Dict[str, int] = {}
+            with open(listing) as f:
+                for line in f:
+                    fields = line.split()
+                    if len(fields) == 2:
+                        table[fields[0]] = self._REMAP[int(fields[1])]
+            flags_by_class[cls] = table
+        self.class_names = list(flags_by_class)
 
-        image_names_to_labels: Dict[str, np.ndarray] = defaultdict(
-            lambda: -np.ones(len(self.class_names), dtype=np.int32)
-        )
-        for cls_num, ann_path in enumerate(ann_paths):
-            with open(ann_path) as fopen:
-                for line in fopen:
-                    img_name, orig_label_str = line.strip().split()
-                    orig_label = int(orig_label_str)
-                    # Raw VOC: -1 not-present, 0 difficult/ignore, 1 present.
-                    # Train target: 0 negative, -1 ignore, 1 positive.
-                    remapped = 0 if orig_label == -1 else -1 if orig_label == 0 else 1
-                    image_names_to_labels[img_name][cls_num] = remapped
+        # Image order: first appearance while scanning classes in name order
+        # (dict preserves insertion order).
+        stems: Dict[str, None] = {}
+        for table in flags_by_class.values():
+            for stem in table:
+                stems.setdefault(stem)
 
-        self.instances: List[Tuple[str, List[int]]] = [
-            (os.path.join(data_root, "JPEGImages", f"{name}.jpg"), label.tolist())
-            for name, label in image_names_to_labels.items()
-        ]
+        self.instances: List[Tuple[str, np.ndarray]] = []
+        for stem in stems:
+            vec = np.asarray(
+                [flags_by_class[c].get(stem, -1) for c in self.class_names],
+                dtype=np.int32)
+            self.instances.append(
+                (os.path.join(data_root, "JPEGImages", f"{stem}.jpg"), vec))
 
     def __len__(self) -> int:
         return len(self.instances)

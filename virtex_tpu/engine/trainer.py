@@ -44,9 +44,11 @@ def make_train_step(model, tx: optax.GradientTransformation,
                     jit: bool = True) -> Callable:
     """Build the jitted train step.
 
-    With a mesh, output state/metrics shardings are pinned (params via
-    :func:`param_sharding` rules, metrics replicated) so XLA lays gradients
-    out correctly without a pjit wrapper.
+    With a mesh, the updated params are pinned to the tensor-parallel
+    layout of :func:`param_sharding` via ``with_sharding_constraint``, so
+    gradients and optimizer state keep the TP layout regardless of the
+    input shardings (with ``model=1`` the rules degenerate to
+    fully-replicated and the constraint is a no-op).
     """
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
@@ -65,6 +67,9 @@ def make_train_step(model, tx: optax.GradientTransformation,
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if mesh is not None:
+            params = jax.lax.with_sharding_constraint(
+                params, param_sharding(params, mesh))
         new_state = state.replace(step=state.step + 1, params=params,
                                   batch_stats=new_stats,
                                   opt_state=opt_state)

@@ -211,7 +211,8 @@ class VisualBackboneFactory(Factory):
         _C = config
         dtype = jnp.bfloat16 if _C.DTYPE == "bfloat16" else jnp.float32
         return cls.create(_C.MODEL.VISUAL.NAME,
-                          frozen=_C.MODEL.VISUAL.FROZEN, dtype=dtype)
+                          frozen=_C.MODEL.VISUAL.FROZEN, dtype=dtype,
+                          bn_stat_stride=_C.MODEL.VISUAL.BN_STAT_STRIDE)
 
 
 class TextualHeadFactory(Factory):

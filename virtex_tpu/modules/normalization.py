@@ -1,0 +1,113 @@
+r"""
+BatchNorm with optionally subsampled training statistics — the TPU
+HBM-bandwidth fix for the dominant non-conv cost in the train step.
+
+Why this exists (measured profile, docs/design.md): BatchNorm's statistics
+reductions re-read every conv activation from HBM (bf16→f32 convert+reduce,
+forward and backward) and accounted for 36.5% of the ResNet-50 train step.
+The normalize *apply* fuses into neighbouring elementwise work, but the
+mean/variance reduction is an unavoidable extra pass over the full tensor —
+unless we estimate the statistics from a subsample.
+
+Design: during training, mean/var are computed from every ``stride``-th
+spatial ROW of the activation (``x[:, ::stride]``). Rows are contiguous in
+TPU memory (W×C spans whole HBM transfer chunks), so a row-strided slice
+genuinely skips traffic, unlike a lane-dim (W or C) stride. The gradient of
+the statistics flows only through the sampled rows (autodiff of the slice),
+shrinking the backward stats pass by the same factor. Sample counts stay
+huge: batch 128 at 56×56 with stride 4 still averages over 128·14·56 ≈ 100k
+elements per channel — the same order as the reference's per-GPU BN over
+batch 32 with full spatial extent (the reference trains *unsynced* per-GPU
+BN; SURVEY §7 hard parts). Small feature maps keep more rows via the
+``max(1, min(stride, H // 4))`` clamp (≥4 rows whenever H ≥ 8; the 7×7
+layer4 grid is never subsampled).
+
+With ``stat_stride=1`` this is exactly standard BatchNorm (parity with
+``flax.linen.BatchNorm`` is unit-tested), which stays the semantic
+reference. Parameter/stat names (``scale``/``bias``, ``mean``/``var``)
+match ``nn.BatchNorm`` so checkpoint conversion (reference
+``running_mean``/``running_var`` → ``mean``/``var``) is unchanged.
+
+Statistics are computed over the *global* (sharded) batch — XLA inserts the
+cross-chip reduction from the batch sharding, i.e. sync-BN by construction
+(see ``engine/trainer.py`` note).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class SubsampledBatchNorm(nn.Module):
+    r"""BatchNorm whose training statistics come from a row-strided spatial
+    subsample.
+
+    Attributes:
+        use_running_average: eval mode — normalize with stored statistics.
+        momentum: running-average decay (flax convention: 0.9 ≡ torch 0.1).
+        epsilon: numerical floor added to the variance.
+        dtype: compute dtype of the normalized output.
+        param_dtype: dtype of scale/bias and running statistics.
+        stat_stride: training-time row stride for statistics (1 = exact BN).
+        scale_init: initializer for scale (zeros for zero_init_residual).
+    """
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+    stat_stride: int = 1
+    use_scale: bool = True
+    use_bias: bool = True
+    scale_init: Callable = nn.initializers.ones
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(features, self.param_dtype))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(features, self.param_dtype))
+
+        if self.use_running_average:
+            mean = ra_mean.value
+            var = ra_var.value
+        else:
+            sample = x
+            if x.ndim == 4 and self.stat_stride > 1:
+                h = x.shape[1]
+                # keep ≥4 rows whenever possible; tiny grids stay exact
+                stride = max(1, min(self.stat_stride, h // 4))
+                if stride > 1:
+                    sample = x[:, ::stride]
+            reduce_axes = tuple(range(sample.ndim - 1))
+            sf32 = sample.astype(jnp.float32)
+            mean = jnp.mean(sf32, axis=reduce_axes)
+            # fast variance E[x²] − E[x]² (one fused pass over the sample)
+            mean2 = jnp.mean(jnp.square(sf32), axis=reduce_axes)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+
+        y = x.astype(self.dtype)
+        stats_shape = (1,) * (x.ndim - 1) + (features,)
+        mul = jnp.reshape(1.0 / jnp.sqrt(var + self.epsilon), stats_shape)
+        if self.use_scale:
+            scale = self.param("scale", self.scale_init, (features,),
+                               self.param_dtype)
+            mul = mul * jnp.reshape(scale, stats_shape)
+        y = (y - jnp.reshape(mean, stats_shape).astype(self.dtype)) \
+            * mul.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (features,),
+                              self.param_dtype)
+            y = y + jnp.reshape(bias, stats_shape).astype(self.dtype)
+        return y.astype(self.dtype)

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from virtex_tpu.modules.normalization import SubsampledBatchNorm
+
 ModuleDef = Any
 
 
@@ -115,12 +117,17 @@ class ResNet(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     bn_momentum: float = 0.9  # == torch momentum 0.1
     bn_eps: float = 1e-5
+    # Training-time BN statistics row stride (modules/normalization.py):
+    # >1 estimates mean/var from every Nth spatial row, cutting the BN-stat
+    # HBM reduction passes by that factor. 1 = exact full-tensor BN.
+    bn_stat_stride: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32)
-        norm = partial(nn.BatchNorm, use_running_average=not train,
+        norm = partial(SubsampledBatchNorm, use_running_average=not train,
                        momentum=self.bn_momentum, epsilon=self.bn_eps,
+                       stat_stride=self.bn_stat_stride,
                        dtype=self.dtype, param_dtype=jnp.float32)
         x = x.astype(self.dtype)
         x = conv(self.num_filters, (7, 7), strides=(2, 2),
@@ -165,8 +172,10 @@ def feature_size(name: str) -> int:
     return 512 * d["block_cls"].expansion
 
 
-def make_resnet(name: str, dtype: jnp.dtype = jnp.bfloat16) -> ResNet:
+def make_resnet(name: str, dtype: jnp.dtype = jnp.bfloat16,
+                bn_stat_stride: int = 1) -> ResNet:
     if name not in _RESNET_DEFS:
         raise ValueError(
             f"Unknown resnet {name!r}; supported: {sorted(_RESNET_DEFS)}")
-    return ResNet(dtype=dtype, **_RESNET_DEFS[name])
+    return ResNet(dtype=dtype, bn_stat_stride=bn_stat_stride,
+                  **_RESNET_DEFS[name])

@@ -36,9 +36,11 @@ class ResNetVisualBackbone(nn.Module):
     name_or_arch: str = "resnet50"
     frozen: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    bn_stat_stride: int = 1  # see modules/normalization.py
 
     def setup(self):
-        self.cnn = make_resnet(self.name_or_arch, dtype=self.dtype)
+        self.cnn = make_resnet(self.name_or_arch, dtype=self.dtype,
+                               bn_stat_stride=self.bn_stat_stride)
 
     def __call__(self, image: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         # uint8 feed path: ImageNet normalization happens HERE on device

@@ -19,9 +19,10 @@ this per-batch batched-heads layout reaches ~1.0× XLA on self-attention and
 Layouts: q (B, Tq, N, D), k/v (B, Tk, N, D), mask bool (B, 1, Tq, Tk) or
 (B, N, Tq, Tk); grid = (B,).
 
-The XLA einsum path in :mod:`virtex_tpu.modules.transformer` remains the
-fallback/reference implementation (``VIRTEX_TPU_PALLAS=1`` opts in on TPU;
-``VIRTEX_TPU_NO_PALLAS=1`` force-disables).
+This kernel is the DEFAULT on TPU (see :func:`pallas_available`); the XLA
+einsum path in :mod:`virtex_tpu.modules.transformer` remains the
+fallback/reference implementation (``VIRTEX_TPU_NO_PALLAS=1`` disables the
+kernel and selects it).
 """
 from __future__ import annotations
 

@@ -81,10 +81,27 @@ def setup_fast_rng() -> None:
         pass
 
 
+def apply_platform_override() -> None:
+    """Honor a virtual-device CPU run (``XLA_FLAGS=--xla_force_host_
+    platform_device_count=N``) even on hosts whose site hooks override
+    ``$JAX_PLATFORMS`` (the axon tunnel injects ``axon,cpu``): when the
+    virtual-device flag is present, force the CPU platform through
+    ``jax.config`` before the backend initializes. Used by all CLI scripts
+    so multi-device sharding can be exercised without real chips."""
+    if "xla_force_host_platform_device_count" in os.environ.get(
+            "XLA_FLAGS", ""):
+        try:
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 def common_setup(_C: Config, _A: argparse.Namespace,
                  job_type: str = "pretrain") -> None:
     """Seed python/numpy, configure logging (one file per host, stdout on
     master only), dump the config to the serialization dir."""
+    apply_platform_override()
     os.makedirs(_A.serialization_dir, exist_ok=True)
     setup_compilation_cache()
     setup_fast_rng()
