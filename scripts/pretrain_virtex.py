@@ -29,8 +29,10 @@ from virtex_tpu.engine import (
     initialize_model,
     make_eval_step,
     make_train_step,
+    place_state,
 )
 from virtex_tpu.factories import (
+    LRSchedulerFactory,
     OptimizerFactory,
     PretrainingDatasetFactory,
     PretrainingModelFactory,
@@ -112,6 +114,9 @@ def main(_A) -> None:
         variables = initialize_model(model, sample, rng, mesh)
     tx = OptimizerFactory.from_config(_C, variables["params"])
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    # Commit every leaf (incl. scalar step / opt-state counters) to the mesh
+    # so a checkpoint restore into this template keeps one device set.
+    state = place_state(state, mesh)
 
     train_step = make_train_step(model, tx, mesh)
     eval_step = make_eval_step(model)
@@ -119,8 +124,14 @@ def main(_A) -> None:
     ckpt_mgr = CheckpointManager(_A.serialization_dir, keep_recent=100)
     start_iteration = 0
     if _A.resume_from:
-        state, start_iteration = ckpt_mgr.load(_A.resume_from, state)
+        state, start_iteration = ckpt_mgr.load(_A.resume_from, state,
+                                               loader=train_loader)
+        train_iter = iter(train_loader)  # re-enter at the restored position
         logger.info(f"Resumed from {_A.resume_from} at {start_iteration}")
+    # Schedule multipliers are pure functions of the step; recompute them
+    # host-side for the reference's per-param-group LR curves
+    # (pretrain_virtex.py:172-183).
+    lr_schedule = LRSchedulerFactory.from_config(_C)
 
     writer = (build_summary_writer(_A.serialization_dir)
               if dist.is_master_process() else None)
@@ -128,7 +139,10 @@ def main(_A) -> None:
                   total_iterations=_C.OPTIM.NUM_ITERATIONS)
 
     # ------------------------------------------------------------- hot loop
-    batch = sample
+    # Fresh runs train on the already-fetched init batch (stream batch #1);
+    # resumed runs refetch from the restored stream position.
+    batch = (sample if start_iteration == 0
+             else shard_batch(next(train_iter), mesh))
     with mesh:
         for iteration in range(start_iteration + 1,
                                _C.OPTIM.NUM_ITERATIONS + 1):
@@ -153,12 +167,17 @@ def main(_A) -> None:
                 if writer:
                     for k, v in metrics.items():
                         writer.add_scalar(f"train/{k}", float(v), iteration)
+                    # per-param-group LR curves (reference
+                    # pretrain_virtex.py:172-183); dual-LR groups: cnn/rest
+                    mult = float(lr_schedule(iteration))
+                    writer.add_scalar("lr/cnn", _C.OPTIM.CNN_LR * mult,
+                                      iteration)
+                    writer.add_scalar("lr/textual", _C.OPTIM.LR * mult,
+                                      iteration)
 
             if iteration % _A.checkpoint_every == 0:
-                if dist.is_master_process():
-                    ckpt_mgr.step(state, iteration)
-                dist.synchronize()
-                # Validation sweep (loss over val split).
+                # Validation sweep (loss over val split) first, so the
+                # checkpoint records its metric for rolling-best tracking.
                 val_metrics = []
                 logged_preds = False
                 for val_batch in val_loader_factory():
@@ -170,6 +189,7 @@ def main(_A) -> None:
                         # show a few argmax predictions next to ground truth
                         log_val_predictions(model, state, sharded_val, _C)
                         logged_preds = True
+                metric = None
                 if val_metrics:
                     mean = {k: float(np.mean([m[k] for m in val_metrics]))
                             for k in val_metrics[0]}
@@ -177,9 +197,21 @@ def main(_A) -> None:
                     if writer:
                         for k, v in mean.items():
                             writer.add_scalar(f"val/{k}", v, iteration)
+                    # rolling best = lowest val loss (manager is max-based)
+                    metric = -mean["loss"]
+                # ALL processes enter the save (sharded arrays are written
+                # collectively; a master-only gate would hang under TP).
+                # Stream position is analytic: batches trained = iteration.
+                ckpt_mgr.step(
+                    state, iteration, metric=metric,
+                    loader_state={"items_consumed":
+                                  iteration * per_host_batch})
 
-    if dist.is_master_process():
-        ckpt_mgr.step(state, _C.OPTIM.NUM_ITERATIONS)
+    if _C.OPTIM.NUM_ITERATIONS % _A.checkpoint_every != 0:
+        ckpt_mgr.step(state, _C.OPTIM.NUM_ITERATIONS,
+                      loader_state={"items_consumed":
+                                    _C.OPTIM.NUM_ITERATIONS * per_host_batch})
+    ckpt_mgr.wait_until_finished()
 
 
 if __name__ == "__main__":

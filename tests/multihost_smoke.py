@@ -37,7 +37,9 @@ def worker(pid: int) -> None:
     from virtex_tpu.utils import distributed as dist
 
     assert dist.get_world_size() == NUM_PROC
-    mesh = create_mesh()  # global: NUM_PROC*2 devices on the data axis
+    # dp × tp: the model axis shards textual-head params ACROSS the two
+    # local devices — a master-only device_get checkpoint would hang here.
+    mesh = create_mesh(data=NUM_PROC, model=2)
 
     model = ForwardCaptioningModel(
         visual=ResNetVisualBackbone("resnet18", dtype=jnp.float32),
@@ -69,8 +71,42 @@ def worker(pid: int) -> None:
         loss = float(metrics["loss"])
     dist.synchronize()
     assert np.isfinite(loss)
-    print(f"proc {pid}: loss={loss:.4f} world={dist.get_world_size()} OK",
-          flush=True)
+
+    # Multi-host checkpoint round-trip: ALL processes enter save and load
+    # (orbax collective over TP-sharded arrays), then training continues.
+    import shutil
+
+    from virtex_tpu.engine import CheckpointManager
+    ckdir = "/tmp/vtx_multihost_ck"
+    if pid == 0:
+        shutil.rmtree(ckdir, ignore_errors=True)
+    dist.synchronize()
+    mgr = CheckpointManager(ckdir, keep_recent=2, async_save=False)
+    with mesh:
+        mgr.step(state, 1, metric=-loss,
+                 loader_state={"items_consumed": 8})
+
+        class FakeLoader:
+            def load_state_dict(self, sd):
+                self.restored = sd
+
+        fake = FakeLoader()
+        restored, it = mgr.load(mgr.latest(), state, loader=fake)
+        assert it == 1
+        assert fake.restored == {"items_consumed": 8}
+
+        def assert_same(a, b):
+            for sa, sb in zip(a.addressable_shards, b.addressable_shards):
+                np.testing.assert_array_equal(np.asarray(sa.data),
+                                              np.asarray(sb.data))
+
+        jax.tree.map(assert_same, state.params, restored.params)
+        # restored state steps forward identically on every process
+        state2, m2 = step(restored, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(m2["loss"]))
+    dist.synchronize()
+    print(f"proc {pid}: loss={loss:.4f} world={dist.get_world_size()} "
+          f"tp-ckpt OK", flush=True)
 
 
 def launcher() -> int:

@@ -117,8 +117,8 @@ def test_sharded_sampler_partition():
     s0 = ShardedSampler(10, shuffle=True, seed=1, num_shards=2, shard_index=0)
     s1 = ShardedSampler(10, shuffle=True, seed=1, num_shards=2, shard_index=1)
     it0, it1 = iter(s0), iter(s1)
-    e0 = [next(it0) for _ in range(5)]
-    e1 = [next(it1) for _ in range(5)]
+    e0 = [next(it0)[1] for _ in range(5)]
+    e1 = [next(it1)[1] for _ in range(5)]
     assert set(e0).isdisjoint(e1)
     assert len(set(e0 + e1)) == 10
 
@@ -126,10 +126,91 @@ def test_sharded_sampler_partition():
 def test_sampler_reshuffles_across_epochs():
     s = ShardedSampler(16, shuffle=True, seed=3)
     it = iter(s)
-    e0 = [next(it) for _ in range(16)]
-    e1 = [next(it) for _ in range(16)]
+    p0 = [next(it) for _ in range(16)]
+    p1 = [next(it) for _ in range(16)]
+    e0, e1 = [i for _, i in p0], [i for _, i in p1]
     assert sorted(e0) == sorted(e1) == list(range(16))
     assert e0 != e1
+    assert {e for e, _ in p0} == {0} and {e for e, _ in p1} == {1}
+
+
+def test_sampler_resumes_mid_epoch():
+    s = ShardedSampler(16, shuffle=True, seed=3)
+    full = [pair for pair, _ in zip(s.iterate(0), range(40))]
+    resumed = [pair for pair, _ in zip(s.iterate(25), range(15))]
+    assert resumed == full[25:]
+
+
+class _RecordingDataset:
+    """Records the augmentation RNG draw, so stream equality covers both
+    index order AND per-item augmentation reproducibility."""
+
+    def __len__(self):
+        return 13
+
+    def __getitem__(self, idx, rng=None):
+        return {"idx": np.asarray(idx, np.int64),
+                "draw": np.asarray(rng.randint(0, 1 << 30), np.int64)}
+
+    def collate_fn(self, items):
+        return {k: np.stack([d[k] for d in items]) for k in items[0]}
+
+
+@pytest.mark.parametrize("workers", [0, 2])
+def test_loader_resume_replays_identical_batches(workers):
+    from virtex_tpu.data.loader import DataLoader as DL
+
+    def make():
+        return DL(_RecordingDataset(), batch_size=3, shuffle=True,
+                  num_workers=workers, seed=11, infinite=True)
+
+    straight = make()
+    it = iter(straight)
+    reference_batches = [next(it) for _ in range(10)]
+
+    # interrupted run: 4 batches, snapshot, resume in a NEW loader
+    first = make()
+    it1 = iter(first)
+    for _ in range(4):
+        next(it1)
+    snap = first.state_dict()
+    assert snap == {"items_consumed": 12}
+
+    resumed = make()
+    resumed.load_state_dict(snap)
+    it2 = iter(resumed)
+    for want in reference_batches[4:]:
+        got = next(it2)
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k])
+
+
+def test_loader_prefetched_but_unconsumed_batches_replay():
+    """The producer thread prefetches ahead; position must track CONSUMED
+    batches only, so nothing is skipped on resume."""
+    from virtex_tpu.data.loader import DataLoader as DL
+
+    ld = DL(_RecordingDataset(), batch_size=3, shuffle=True, num_workers=2,
+            prefetch=4, seed=5, infinite=True)
+    it = iter(ld)
+    got = [next(it) for _ in range(2)]
+    import time
+    time.sleep(0.3)  # let the producer fill the prefetch queue
+    assert ld.state_dict() == {"items_consumed": 6}
+
+    ld2 = DL(_RecordingDataset(), batch_size=3, shuffle=True, num_workers=0,
+             seed=5, infinite=True)
+    ld2.load_state_dict(ld.state_dict())
+    nxt = next(iter(ld2))
+    # equals the 3rd batch of a straight stream
+    straight = DL(_RecordingDataset(), batch_size=3, shuffle=True,
+                  num_workers=0, seed=5, infinite=True)
+    its = iter(straight)
+    for _ in range(2):
+        next(its)
+    want = next(its)
+    for k in want:
+        np.testing.assert_array_equal(nxt[k], want[k])
 
 
 def test_dataloader_infinite(coco, tokenizer):

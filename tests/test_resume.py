@@ -68,3 +68,72 @@ def test_resume_is_bit_exact(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         s_direct.opt_state, restored.opt_state)
+
+
+def test_tp_sharded_save_restore(tmp_path):
+    """TP=2 on the 8-device CPU mesh: checkpoint sharded params without a
+    host gather, restore into the sharded template, shardings preserved."""
+    from virtex_tpu.parallel import create_mesh, shard_batch
+
+    mesh = create_mesh(data=4, model=2)
+    model, tx, state, batch = build()
+    with mesh:
+        sharded_batch = shard_batch(
+            {k: np.asarray(v) for k, v in batch.items()}, mesh)
+        variables = initialize_model(model, sharded_batch,
+                                     jax.random.PRNGKey(0), mesh)
+        tx = build_optimizer(variables["params"], "sgd",
+                             make_schedule("none", 10, 0), lr=0.01,
+                             cnn_lr=0.01, use_lookahead=True)
+        state = TrainState.create(variables["params"],
+                                  variables["batch_stats"], tx)
+        step = make_train_step(model, tx, mesh, donate=False)
+        state, _ = step(state, sharded_batch, jax.random.PRNGKey(1))
+
+        # some textual-head param must actually be TP-sharded
+        qk = state.params["textual"]["transformer"]["layer_0"][
+            "self_attn"]["query"]["kernel"]
+        assert not qk.sharding.is_fully_replicated
+
+        mgr = CheckpointManager(str(tmp_path / "tp_ck"), keep_recent=2,
+                                async_save=False)
+        mgr.step(state, 1, loader_state={"items_consumed": 42})
+
+        class FakeLoader:
+            def load_state_dict(self, sd):
+                self.restored = sd
+
+        fake = FakeLoader()
+        restored, it = mgr.load(mgr.latest(), state, loader=fake)
+        assert it == 1
+        assert fake.restored == {"items_consumed": 42}
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            jax.device_get(state.params), jax.device_get(restored.params))
+        rqk = restored.params["textual"]["transformer"]["layer_0"][
+            "self_attn"]["query"]["kernel"]
+        assert rqk.sharding == qk.sharding
+        # the restored sharded state steps forward
+        restored, m = step(restored, sharded_batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(m["loss"]))
+
+
+def test_old_format_checkpoint_still_loads(tmp_path):
+    """Round-1 checkpoints have no 'loader' entry; load() must sniff and
+    skip it."""
+    import orbax.checkpoint as ocp
+
+    model, tx, state, batch = build()
+    path = str(tmp_path / "ck" / "checkpoint_3")
+    writer = ocp.StandardCheckpointer()
+    writer.save(path, {"state": jax.device_get(state),
+                       "iteration": np.asarray(3, np.int32)})
+    writer.close()  # this orbax finalizes (tmp->final rename) lazily
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep_recent=2)
+    restored, it = mgr.load(path, state)
+    assert it == 3
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        jax.device_get(state.params), jax.device_get(restored.params))

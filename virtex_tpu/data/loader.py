@@ -9,8 +9,12 @@ Replaces the reference's torch ``DataLoader`` + ``DistributedSampler`` + the
 - one *process per host* (not per chip): each host loads its shard of the
   global batch and the arrays are laid out over the mesh with
   ``jax.make_array_from_process_local_data``;
-- deterministic, resumable epoch shuffling: permutation seeded by
-  ``(seed, epoch)`` mirrors ``DistributedSampler.set_epoch`` semantics;
+- deterministic AND resumable: the stream position is a single monotone
+  counter of items consumed; ``(epoch, position) = divmod(counter,
+  items_per_epoch)`` reconstructs the shuffle analytically, and every item's
+  augmentation RNG is seeded by ``(seed, epoch, dataset_index)`` — so a
+  resumed run replays byte-identical batches from where the interrupted run
+  left off (``state_dict()``/``load_state_dict()`` ride in checkpoints);
 - cv2/numpy work runs on a thread pool (cv2 releases the GIL), with a bounded
   prefetch queue of fully-collated batches.
 """
@@ -19,17 +23,27 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Callable, Dict, Iterator, Optional
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import numpy as np
 
 
+def item_rng(seed: int, epoch: int, index: int) -> np.random.RandomState:
+    """Augmentation RNG for one (epoch, dataset index) visit — a pure
+    function of its arguments, so any run (fresh or resumed) that reaches
+    the same visit draws the same augmentations."""
+    root = np.random.SeedSequence((seed, epoch, index))
+    return np.random.RandomState(root.generate_state(1)[0])
+
+
 class ShardedSampler:
-    """Yields epoch-wise shuffled index streams, sharded over hosts.
+    """Yields ``(epoch, dataset_index)`` pairs: epoch-wise shuffled index
+    streams, sharded over hosts.
 
     Equivalent to torch's DistributedSampler with ``set_epoch`` re-seeding
-    (reference ``common.py:25-30``), but infinite: iterate and it keeps
-    producing indices across epoch boundaries forever.
+    (reference ``common.py:25-30``), but infinite and stateless: the stream
+    is a pure function of ``(seed, items_consumed)`` —
+    ``iterate(start_count)`` resumes mid-epoch exactly.
     """
 
     def __init__(
@@ -39,7 +53,6 @@ class ShardedSampler:
         seed: int = 0,
         num_shards: int = 1,
         shard_index: int = 0,
-        start_epoch: int = 0,
     ):
         assert 0 <= shard_index < num_shards
         self.num_examples = num_examples
@@ -47,23 +60,35 @@ class ShardedSampler:
         self.seed = seed
         self.num_shards = num_shards
         self.shard_index = shard_index
-        self.epoch = start_epoch
+        # Even shards: drop the tail remainder (same as drop_last +
+        # DistributedSampler padding semantics, simpler and unbiased for the
+        # infinite pretraining stream).
+        self.items_per_epoch = num_examples // num_shards
 
-    def __iter__(self) -> Iterator[int]:
+    def epoch_order(self, epoch: int) -> np.ndarray:
+        """This shard's dataset indices for one epoch."""
+        if self.shuffle:
+            order = np.random.RandomState(
+                (self.seed * 1_000_003 + epoch) % (2**31)
+            ).permutation(self.num_examples)
+        else:
+            order = np.arange(self.num_examples)
+        lo = self.shard_index * self.items_per_epoch
+        return order[lo:lo + self.items_per_epoch]
+
+    def iterate(self, start_count: int = 0) -> Iterator[Tuple[int, int]]:
+        """Infinite ``(epoch, dataset_index)`` stream beginning at absolute
+        stream position ``start_count``."""
+        count = start_count
         while True:
-            if self.shuffle:
-                order = np.random.RandomState(
-                    (self.seed * 1_000_003 + self.epoch) % (2**31)
-                ).permutation(self.num_examples)
-            else:
-                order = np.arange(self.num_examples)
-            # Even shards: drop the tail remainder (same as drop_last +
-            # DistributedSampler padding semantics, simpler and unbiased
-            # for the infinite pretraining stream).
-            per_shard = self.num_examples // self.num_shards
-            shard = order[self.shard_index * per_shard:(self.shard_index + 1) * per_shard]
-            yield from shard.tolist()
-            self.epoch += 1
+            epoch, pos = divmod(count, self.items_per_epoch)
+            order = self.epoch_order(epoch)
+            for i in range(pos, self.items_per_epoch):
+                yield epoch, int(order[i])
+                count += 1
+
+    def __iter__(self) -> Iterator[Tuple[int, int]]:
+        return self.iterate(0)
 
 
 class DataLoader:
@@ -75,11 +100,11 @@ class DataLoader:
         batch_size: *Per-host* batch size.
         shuffle: Shuffle each epoch.
         num_workers: Decode/augment thread count (0 = synchronous).
-        seed: Base RNG seed; combined with epoch and item index so every
-            item's augmentations are independent yet reproducible.
+        seed: Base RNG seed; item augmentations are seeded by
+            ``(seed, epoch, dataset_index)`` — reproducible across resume.
         prefetch: Number of collated batches to keep ready.
         infinite: If False, stop after one epoch (eval); if True, cycle
-            forever (pretraining).
+            forever (pretraining) with resumable position tracking.
     """
 
     def __init__(
@@ -108,13 +133,22 @@ class DataLoader:
             len(dataset), shuffle=shuffle, seed=seed,
             num_shards=num_shards, shard_index=shard_index,
         )
-        self._counter = 0
+        # Absolute stream position = items handed to the consumer. Only the
+        # infinite (training) stream advances it; eval loaders restart at 0.
+        self.items_consumed = 0
+
+    # -- resumable position (rides in checkpoints) --------------------------
+    def state_dict(self) -> Dict[str, int]:
+        return {"items_consumed": int(self.items_consumed)}
+
+    def load_state_dict(self, state: Dict[str, int]) -> None:
+        self.items_consumed = int(state["items_consumed"])
 
     def __len__(self) -> int:
-        return (len(self.dataset) // self.sampler.num_shards) // self.batch_size
+        return self.sampler.items_per_epoch // self.batch_size
 
-    def _fetch(self, idx: int, item_seed: int):
-        rng = np.random.RandomState(item_seed % (2**31))
+    def _fetch(self, epoch: int, idx: int):
+        rng = item_rng(self.seed, epoch, idx)
         try:
             return self.dataset.__getitem__(idx, rng=rng)
         except TypeError:
@@ -122,32 +156,34 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches_per_epoch = len(self)
-        shard_examples = len(self.dataset) // self.sampler.num_shards
-        remainder = 0 if self.drop_last else shard_examples % self.batch_size
+        remainder = (0 if self.drop_last
+                     else self.sampler.items_per_epoch % self.batch_size)
         if batches_per_epoch == 0 and remainder == 0:
             raise ValueError(
-                f"Dataset ({len(self.dataset)} examples / {self.sampler.num_shards} "
-                f"shards) smaller than batch size {self.batch_size}"
+                f"Dataset ({len(self.dataset)} examples / "
+                f"{self.sampler.num_shards} shards) smaller than batch size "
+                f"{self.batch_size}"
             )
 
-        index_stream = iter(self.sampler)
+        start = self.items_consumed if self.infinite else 0
+        pair_stream = self.sampler.iterate(start)
 
-        def batch_indices():
+        def batch_pairs():
             n = 0
             while self.infinite or n < batches_per_epoch:
-                yield [next(index_stream) for _ in range(self.batch_size)]
+                yield [next(pair_stream) for _ in range(self.batch_size)]
                 n += 1
             if remainder:
                 # final short batch (eval only; shapes trigger one recompile)
-                yield [next(index_stream) for _ in range(remainder)]
+                yield [next(pair_stream) for _ in range(remainder)]
 
         if self.num_workers == 0:
-            for idxs in batch_indices():
-                items = [
-                    self._fetch(i, self.seed + 7919 * self._advance())
-                    for i in idxs
-                ]
-                yield self.collate_fn(items)
+            for pairs in batch_pairs():
+                items = [self._fetch(e, i) for e, i in pairs]
+                batch = self.collate_fn(items)
+                if self.infinite:
+                    self.items_consumed += len(pairs)
+                yield batch
             return
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -156,20 +192,16 @@ class DataLoader:
         def producer():
             with ThreadPoolExecutor(self.num_workers) as pool:
                 try:
-                    for idxs in batch_indices():
+                    for pairs in batch_pairs():
                         if stop.is_set():
                             return
-                        futures = [
-                            pool.submit(
-                                self._fetch, i, self.seed + 7919 * self._advance()
-                            )
-                            for i in idxs
-                        ]
+                        futures = [pool.submit(self._fetch, e, i)
+                                   for e, i in pairs]
                         items = [f.result() for f in futures]
                         batch = self.collate_fn(items)
                         while not stop.is_set():
                             try:
-                                out_q.put(batch, timeout=0.5)
+                                out_q.put((batch, len(pairs)), timeout=0.5)
                                 break
                             except queue.Full:
                                 continue
@@ -186,13 +218,14 @@ class DataLoader:
                     return
                 if isinstance(item, BaseException):
                     raise item
-                yield item
+                batch, n_items = item
+                # Position advances only when the consumer RECEIVES a batch,
+                # so prefetched-but-unconsumed batches are replayed on resume.
+                if self.infinite:
+                    self.items_consumed += n_items
+                yield batch
         finally:
             stop.set()
-
-    def _advance(self) -> int:
-        self._counter += 1
-        return self._counter
 
 
 # Device placement of host batches lives in virtex_tpu.parallel.shard_batch

@@ -9,6 +9,8 @@ from virtex_tpu.engine.trainer import (
     initialize_model,
     make_eval_step,
     make_train_step,
+    place_state,
+    state_mesh_sharding,
 )
 
 __all__ = [
@@ -21,4 +23,6 @@ __all__ = [
     "initialize_model",
     "make_eval_step",
     "make_train_step",
+    "place_state",
+    "state_mesh_sharding",
 ]

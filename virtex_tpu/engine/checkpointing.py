@@ -1,17 +1,24 @@
 r"""
-Checkpoint management on orbax.
+Checkpoint management on orbax — multi-host correct.
 
 Parity target: reference ``virtex/utils/checkpointing.py:12-174`` —
 ``step(iteration, metric)`` serialises ``checkpoint_<iter>`` plus a rolling
 ``checkpoint_best`` (higher-is-better), prunes to ``keep_recent``, and
 ``load`` does partial restore returning the saved iteration.
 
-TPU-native: checkpoints are orbax pytree directories (multi-host safe,
-async-friendly — SURVEY §5.3 recommends async for preemptible TPU VMs),
-not torch pickles. The saved tree is ``{"state": TrainState-as-dict,
-"iteration": i}``; restore works into any matching pytree template, so the
+TPU-native: checkpoints are orbax pytree directories (async-friendly —
+SURVEY §5.3 recommends async for preemptible TPU VMs), not torch pickles.
+The saved tree is ``{"state": TrainState-as-dict, "iteration": i,
+"loader": {...}}``; restore works into any matching pytree template, so the
 same files serve resume, model-zoo download targets, and downstream init
 (the reference's interchange contract, SURVEY §5.4).
+
+Multi-host contract (unlike the reference's master-only torch.save):
+**every process calls ``step``/``load``** — sharded ``jax.Array`` leaves are
+passed to orbax as-is (each host writes the shards it owns; a master-only
+``device_get`` of TP-sharded params would hang), while directory mutations
+(pre-clean, best-copy, prune) happen on process 0 between cross-host
+barriers.
 """
 from __future__ import annotations
 
@@ -25,19 +32,27 @@ import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
+from virtex_tpu.utils import distributed as dist
+
+
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
 
 class CheckpointManager:
     r"""
     Args:
         serialization_dir: directory for ``checkpoint_<iteration>`` subdirs.
         keep_recent: how many recent checkpoints to retain.
-        best_metric_mode: 'max' (reference semantics, checkpointing.py:95).
+        async_save: background the write (training resumes immediately).
     """
 
     def __init__(self, serialization_dir: str, keep_recent: int = 100,
                  async_save: bool = True):
         self.serialization_dir = os.path.abspath(serialization_dir)
-        os.makedirs(self.serialization_dir, exist_ok=True)
+        if _is_primary():
+            os.makedirs(self.serialization_dir, exist_ok=True)
+        dist.synchronize()
         self.keep_recent = keep_recent
         self.best_metric: Optional[float] = None
         self.async_save = async_save
@@ -51,9 +66,14 @@ class CheckpointManager:
         return os.path.join(self.serialization_dir, f"checkpoint_{name}")
 
     def step(self, state: Any, iteration: int,
-             metric: Optional[float] = None) -> None:
+             metric: Optional[float] = None,
+             loader_state: Optional[Dict[str, int]] = None) -> None:
         """Serialise ``state`` at ``iteration``; track rolling best by
-        ``metric`` (higher is better); prune old checkpoints.
+        ``metric`` (higher is better); prune old checkpoints. ALL processes
+        must call this (collective).
+
+        ``loader_state`` (``DataLoader.state_dict()``) rides along so resume
+        replays the exact input stream.
 
         With ``async_save`` (default) the write happens in a background
         thread — training resumes immediately (SURVEY §5.3: async
@@ -62,11 +82,15 @@ class CheckpointManager:
         directories are never touched.
         """
         self.wait_until_finished()
-        tree = {"state": jax.device_get(state),
-                "iteration": np.asarray(iteration, np.int32)}
+        tree = {"state": state,
+                "iteration": np.asarray(iteration, np.int32),
+                "loader": {"items_consumed": np.asarray(
+                    (loader_state or {}).get("items_consumed", 0),
+                    np.int64)}}
         path = self._path(iteration)
-        if os.path.exists(path):
+        if _is_primary() and os.path.exists(path):
             shutil.rmtree(path)
+        dist.synchronize()
         self._ckpt.save(path, tree)
         self._pending = (iteration, metric)
         if not self.async_save:
@@ -74,7 +98,7 @@ class CheckpointManager:
 
     def wait_until_finished(self) -> None:
         """Block until the in-flight save commits, then run deferred
-        best-tracking and pruning."""
+        best-tracking and pruning (process 0 mutates, everyone barriers)."""
         self._ckpt.wait_until_finished()
         if self._pending is None:
             return
@@ -83,11 +107,14 @@ class CheckpointManager:
         if metric is not None and (self.best_metric is None
                                    or metric > self.best_metric):
             self.best_metric = float(metric)
-            best = self._path("best")
-            if os.path.exists(best):
-                shutil.rmtree(best)
-            shutil.copytree(self._path(iteration), best)
-        self._prune()
+            if _is_primary():
+                best = self._path("best")
+                if os.path.exists(best):
+                    shutil.rmtree(best)
+                shutil.copytree(self._path(iteration), best)
+        if _is_primary():
+            self._prune()
+        dist.synchronize()
 
     def _numbered(self) -> List[int]:
         out = []
@@ -109,22 +136,39 @@ class CheckpointManager:
 
     def __del__(self):
         try:
-            self.wait_until_finished()
+            self._ckpt.wait_until_finished()
         except Exception:
             pass
 
     # -- load ---------------------------------------------------------------
-    def load(self, path: str, state_template: Any) -> Tuple[Any, int]:
+    def _has_loader_state(self, path: str) -> bool:
+        """Round-1 checkpoints predate the ``loader`` entry; sniff the
+        committed metadata so both generations restore."""
+        try:
+            md = self._reader.metadata(path)
+            items = md.item_metadata if hasattr(md, "item_metadata") else md
+            return "loader" in items
+        except Exception:
+            return False
+
+    def load(self, path: str, state_template: Any,
+             loader: Optional[Any] = None) -> Tuple[Any, int]:
         """Restore into the template's structure/shardings; returns
         ``(state, iteration)``. Mirrors reference partial-load semantics
         (``checkpointing.py:127-174``): the template defines what is
-        restored."""
+        restored. Pass the training ``loader`` to also restore its stream
+        position."""
         path = os.path.abspath(path)
         self.wait_until_finished()
-        tree = self._reader.restore(
-            path,
-            target={"state": state_template,
-                    "iteration": np.asarray(0, np.int32)})
+        target = {"state": state_template,
+                  "iteration": np.asarray(0, np.int32)}
+        has_loader = self._has_loader_state(path)
+        if has_loader:
+            target["loader"] = {"items_consumed": np.asarray(0, np.int64)}
+        tree = self._reader.restore(path, target=target)
+        if loader is not None and has_loader:
+            loader.load_state_dict(
+                {"items_consumed": int(tree["loader"]["items_consumed"])})
         return tree["state"], int(tree["iteration"])
 
 
@@ -152,9 +196,15 @@ def load_model_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
 
 def load_checkpoint(path: str, state_template: Any) -> Tuple[Any, int]:
     """Convenience one-shot restore (model zoo / downstream init path)."""
-    ckpt = ocp.StandardCheckpointer()
-    tree = ckpt.restore(
-        os.path.abspath(path),
-        target={"state": state_template,
-                "iteration": np.asarray(0, np.int32)})
+    path = os.path.abspath(path)
+    reader = ocp.StandardCheckpointer()
+    target = {"state": state_template, "iteration": np.asarray(0, np.int32)}
+    try:
+        md = reader.metadata(path)
+        items = md.item_metadata if hasattr(md, "item_metadata") else md
+        if "loader" in items:
+            target["loader"] = {"items_consumed": np.asarray(0, np.int64)}
+    except Exception:
+        pass
+    tree = reader.restore(path, target=target)
     return tree["state"], int(tree["iteration"])

@@ -28,6 +28,27 @@ from virtex_tpu.engine.train_state import TrainState
 from virtex_tpu.parallel.mesh import param_sharding, replicated
 
 
+def state_mesh_sharding(state: TrainState, mesh: Mesh) -> TrainState:
+    """Pytree of NamedShardings for a TrainState: params — and opt-state
+    leaves that mirror them (momentum trace, lookahead slow weights), whose
+    dotted paths end in the same names — follow :func:`param_sharding`'s
+    TP rules; scalars and batch stats are replicated. Used to commit the
+    whole state to one mesh so checkpoint restore (which preserves the
+    template's placements) never mixes device sets."""
+    return TrainState(
+        step=replicated(mesh),
+        params=param_sharding(state.params, mesh),
+        batch_stats=jax.tree.map(lambda _: replicated(mesh),
+                                 state.batch_stats),
+        opt_state=param_sharding(state.opt_state, mesh))
+
+
+def place_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Commit every TrainState leaf to the mesh per
+    :func:`state_mesh_sharding` (no-op for leaves already laid out)."""
+    return jax.device_put(state, state_mesh_sharding(state, mesh))
+
+
 def donation_supported() -> bool:
     """Buffer donation halves peak param memory but the axon development
     tunnel rejects donated executables at runtime (INVALID_ARGUMENT);
