@@ -48,10 +48,12 @@ def test_kv_cache_beam_equals_full_prefix_beam():
 
     def slow_step(last_tokens, position, state):
         buf = state["buf"]
-        # append last emitted token at `position` (position 0 = SOS query)
-        buf = buf.at[:, position].set(
-            jnp.where(position == 0, buf[:, 0], last_tokens))
-        length = position + 1
+        # Reference prefix layout (captioning.py:191-213): step 0 feeds just
+        # [SOS]; later prefixes are the predicted tokens ONLY, re-based at
+        # position 0 (beam_search.py:86-89 — start symbols are implicit).
+        write_pos = jnp.maximum(position - 1, 0)
+        buf = buf.at[:, write_pos].set(last_tokens)
+        length = jnp.maximum(position, 1)
         lengths = jnp.full((B * BEAMS,), length, jnp.int32)
         logits = model.textual.apply(
             {"params": variables["params"]["textual"]},

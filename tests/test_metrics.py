@@ -79,3 +79,66 @@ def test_evaluator_accepts_annotation_file(tmp_path):
     ev = CocoCaptionsEvaluator(str(p))
     assert set(ev.ground_truth) == {1}
     assert len(ev.ground_truth[1]) == 2
+
+
+def test_ptb_tokenize_golden_fixture():
+    """50 caption-realistic cases against committed expectations of
+    CoreNLP PTBTokenizer (-preserveLines -lowerCase) + the reference's
+    punctuation filter (see fixture _provenance)."""
+    import json
+    import os
+
+    from virtex_tpu.utils.metrics import ptb_tokenize
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "ptb_tokenizer_golden.json")
+    with open(path) as f:
+        cases = json.load(f)["cases"]
+    assert len(cases) == 50
+    failures = [
+        (c["in"], ptb_tokenize(c["in"]), c["out"])
+        for c in cases if ptb_tokenize(c["in"]) != c["out"]
+    ]
+    assert not failures, failures
+
+
+def test_cider_from_raw_strings_matches_reference_cider():
+    """End-to-end from RAW STRINGS: our evaluator (ptb_tokenize + cider,
+    x100 scale) must equal the reference cider() fed with our tokenizer's
+    output (the java tokenizer is unavailable; the tokenizer itself is
+    pinned by the golden fixture above). rtol 1e-6."""
+    import sys
+
+    import numpy as np
+    import pytest
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from virtex.utils.metrics import cider as ref_cider
+    except Exception:
+        pytest.skip("reference repo not available")
+
+    from virtex_tpu.utils.metrics import CocoCaptionsEvaluator, ptb_tokenize
+
+    gts = {
+        1: ["a man riding a wave on top of a surfboard.",
+            "A man is surfing, riding a big wave.",
+            "the surfer doesn't fall off the board"],
+        2: ["two dogs play in the grass",
+            "Two dogs are playing with a frisbee!",
+            "the dogs' owner watches them play"],
+        3: ["a bus (red) parked outside",
+            "a red bus is parked by the curb.",
+            "it's a double-decker bus"],
+    }
+    preds = {1: "a man riding a wave on a surfboard.",
+             2: "two dogs playing in the grass",
+             3: "a red bus parked on the street"}
+
+    ours = CocoCaptionsEvaluator(gts).evaluate(
+        [{"image_id": k, "caption": v} for k, v in preds.items()])
+
+    ref_score = ref_cider(
+        {k: [" ".join(ptb_tokenize(v))] for k, v in preds.items()},
+        {k: [" ".join(ptb_tokenize(c)) for c in v] for k, v in gts.items()})
+    np.testing.assert_allclose(ours["CIDEr"], 100.0 * ref_score, rtol=1e-6)

@@ -88,6 +88,96 @@ def test_textual_head_logits_match_reference(norm_type):
                                rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.parametrize("norm_type", ["post", "pre"])
+def test_composed_decode_parity_on_converted_weights(norm_type):
+    """The strongest quality-parity artifact attainable without COCO: the
+    reference TransformerDecoderTextualHead + reference
+    AutoRegressiveBeamSearch (full-prefix recompute, torch) must emit the
+    SAME token sequences as OUR compiled encode → KV-cache → beam pipeline
+    (engine/captioner.make_caption_fn) running on converted weights, over
+    100 random visual grids."""
+    import torch.nn.functional as F
+
+    from flax import linen as nn
+    from virtex.utils.beam_search import AutoRegressiveBeamSearch as RefBS
+
+    from virtex_tpu.engine.captioner import make_caption_fn
+    from virtex_tpu.utils.beam_search import AutoRegressiveBeamSearch
+
+    SOS, EOS, K, STEPS = 1, 2, 5, MAXLEN - 1
+    torch.manual_seed(42)
+    ref = TransformerDecoderTextualHead(
+        visual_feature_size=VIS, vocab_size=VOCAB, hidden_size=H,
+        num_layers=L, attention_heads=HEADS, feedforward_size=FF,
+        dropout=0.0, norm_first=(norm_type == "pre"),
+        max_caption_length=MAXLEN, padding_idx=0)
+    ref.eval()
+
+    B = 100
+    g = torch.Generator().manual_seed(7)
+    visual = torch.randn(B, VIS, 2, 2, generator=g)
+
+    # torch driver equivalent to the reference inference branch
+    # (captioning.py:165-213): tile visual per beam, re-run the FULL prefix
+    # each step, return last-position log-probs.
+    def ref_step(partial):
+        n = partial.shape[0]
+        vis = visual.repeat_interleave(n // B, dim=0)
+        lengths = torch.full((n,), partial.shape[1], dtype=torch.long)
+        with torch.no_grad():
+            logits = ref(vis, partial, lengths)
+        return F.log_softmax(logits[:, -1], dim=-1)
+
+    ref_bs = RefBS(eos_index=EOS, max_steps=STEPS, beam_size=K,
+                   per_node_beam_size=2)
+    ref_preds, _ = ref_bs.search(
+        torch.full((B, 1), SOS, dtype=torch.long), ref_step)
+    ref_preds = ref_preds.numpy()
+
+    # ours: converted weights through the production captioner pipeline
+    sd = {f"textual.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    converted = convert_virtex_checkpoint(
+        {**sd,
+         "visual.cnn.conv1.weight": np.zeros((4, 3, 7, 7), np.float32),
+         "visual.cnn.bn1.weight": np.ones(4, np.float32),
+         "visual.cnn.bn1.bias": np.zeros(4, np.float32),
+         "visual.cnn.bn1.running_mean": np.zeros(4, np.float32),
+         "visual.cnn.bn1.running_var": np.ones(4, np.float32)},
+        num_layers=L, prenorm=(norm_type == "pre"))
+
+    head = TransformerTextualHead(
+        visual_feature_size=VIS, vocab_size=VOCAB, hidden_size=H,
+        num_layers=L, attention_heads=HEADS, feedforward_size=FF,
+        dropout=0.0, norm_type=norm_type, mask_future_positions=True,
+        max_caption_length=MAXLEN, padding_idx=0, dtype=jnp.float32)
+
+    class GridCaptioner(nn.Module):
+        """Identity visual encoder: the test feeds grids, not images."""
+        textual: TransformerTextualHead
+
+        def encode_visual(self, grid):
+            return grid
+
+        def init_decode(self, grid, max_length=None):
+            return self.textual.init_decode(grid, max_length)
+
+        def decode_step(self, token, position, caches):
+            return self.textual.decode_step(token, position, caches)
+
+    model = GridCaptioner(textual=head)
+    variables = {"params": {"textual": converted["params"]["textual"]}}
+    decoder = AutoRegressiveBeamSearch(eos_index=EOS, max_steps=STEPS,
+                                       beam_size=K, per_node_beam_size=2)
+    caption_fn = make_caption_fn(model, decoder, sos_index=SOS)
+    grids = jnp.asarray(visual.numpy().transpose(0, 2, 3, 1))
+    ours = np.asarray(caption_fn(variables, grids))
+
+    # the reference early-stops when all beams hit EOS; ours pads with EOS
+    t = ref_preds.shape[1]
+    assert (ours[:, t:] == EOS).all()
+    np.testing.assert_array_equal(ours[:, :t], ref_preds)
+
+
 def test_reference_beam_search_semantics():
     """Run the reference AutoRegressiveBeamSearch on the same toy Markov
     step function used in test_decoding and require identical outputs from

@@ -31,6 +31,15 @@ def make_caption_fn(model, decoder, sos_index: int = 1):
     is_beam = isinstance(decoder, AutoRegressiveBeamSearch)
 
     def step_fn(variables, tokens, position, caches):
+        if is_beam:
+            # Reference beam-search prefixes EXCLUDE the start token
+            # (beam_search.py:86-89 "start symbols … are implicit";
+            # captioning.py:191-213 re-runs only the predicted tokens), so
+            # generated token i sits at position i−1 and the SOS cache slot
+            # is overwritten by the first prediction. Nucleus sampling keeps
+            # SOS in the prefix (nucleus_sampling.py:119 strips it only at
+            # the end), so its positions are used as-is.
+            position = jnp.maximum(position - 1, 0)
         logits, caches = model.apply(variables, tokens, position, caches,
                                      method="decode_step")
         if is_beam:

@@ -61,6 +61,13 @@ class SubsampledBatchNorm(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     stat_stride: int = 1
+    # How the training statistics sample is drawn when stat_stride > 1:
+    #   "batch": leading B/stride images, full spatial extent — a contiguous
+    #     slice whose gradient is a pad (fuses; strided-row gathers measured
+    #     SLOWER on TPU), and statistically the reference's per-GPU BN (the
+    #     reference computes stats over its local batch-32 shard).
+    #   "rows": every stride-th spatial row (kept for experiments).
+    stat_sample: str = "batch"
     use_scale: bool = True
     use_bias: bool = True
     scale_init: Callable = nn.initializers.ones
@@ -80,11 +87,21 @@ class SubsampledBatchNorm(nn.Module):
         else:
             sample = x
             if x.ndim == 4 and self.stat_stride > 1:
-                h = x.shape[1]
-                # keep ≥4 rows whenever possible; tiny grids stay exact
-                stride = max(1, min(self.stat_stride, h // 4))
-                if stride > 1:
-                    sample = x[:, ::stride]
+                if self.stat_sample == "batch":
+                    b = x.shape[0]
+                    # keep ≥8 images in the sample; tiny batches stay exact
+                    div = max(1, min(self.stat_stride, b // 8))
+                    if div > 1:
+                        sample = x[: b // div]
+                elif self.stat_sample == "rows":
+                    h = x.shape[1]
+                    # keep ≥4 rows whenever possible; tiny grids stay exact
+                    stride = max(1, min(self.stat_stride, h // 4))
+                    if stride > 1:
+                        sample = x[:, ::stride]
+                else:
+                    raise ValueError(
+                        f"unknown stat_sample {self.stat_sample!r}")
             reduce_axes = tuple(range(sample.ndim - 1))
             sf32 = sample.astype(jnp.float32)
             mean = jnp.mean(sf32, axis=reduce_axes)

@@ -70,9 +70,10 @@ class AutoRegressiveBeamSearch:
         logprobs0, state = step_fn(start_flat, jnp.asarray(0, jnp.int32),
                                    state)
         V = logprobs0.shape[-1]
+        # NOTE: no repetition penalty here — the reference applies it only
+        # inside the loop on the last PREDICTED token (beam_search.py:
+        # 156-157); the start token is fair game at step 0 (:108-127).
         lp0 = logprobs0.reshape(B, K, V)[:, 0, :].astype(jnp.float32)
-        lp0 = lp0 + REPETITION_PENALTY * jax.nn.one_hot(
-            start_tokens, V, dtype=jnp.float32)
         k0 = min(K, V)  # degenerate tiny-vocab case: K may exceed V
         scores, last = jax.lax.top_k(lp0, k0)                   # (B, k0)
         if k0 < K:

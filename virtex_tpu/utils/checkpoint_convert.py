@@ -165,6 +165,12 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     numpy state dict (CPU, no grad)."""
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("model", ckpt)
+    # reference checkpoints nest under "model"; torchvision training-script
+    # checkpoints under "state_dict" (reference clf_linear.py:137-141)
+    sd = ckpt
+    for key in ("model", "state_dict"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            sd = ckpt[key]
+            break
     return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
             for k, v in sd.items()}

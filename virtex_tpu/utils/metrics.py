@@ -64,10 +64,18 @@ class TopkAccuracy:
 # PTB-style tokenization (pure python).
 # ---------------------------------------------------------------------------
 
-# Punctuation stripped by coco-caption's PTBTokenizer wrapper.
+# Punctuation stripped AFTER tokenization, exactly the reference's filter
+# (metrics.py:163-167). NOTE the filter is case-sensitive while the
+# tokenizer runs with -lowerCase: bracket tokens come out as "-lrb-" etc.
+# and therefore SURVIVE — a reference quirk we reproduce.
 _PUNCT = {"''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-",
           ".", "?", "!", ",", ":", "-", "--", "...", ";"}
 
+# PTB bracket normalization (applied before lowercasing, like the JAR).
+_BRACKETS = {"(": "-LRB-", ")": "-RRB-", "[": "-LSB-", "]": "-RSB-",
+             "{": "-LCB-", "}": "-RCB-"}
+
+# Assimilated forms split by PTBTokenizer (splitAssimilations default).
 _CONTRACTIONS = [
     (re.compile(r"\b(can)(not)\b", re.I), r"\1 \2"),
     (re.compile(r"\b(d)('ye)\b", re.I), r"\1 \2"),
@@ -76,24 +84,47 @@ _CONTRACTIONS = [
     (re.compile(r"\b(got)(ta)\b", re.I), r"\1 \2"),
     (re.compile(r"\b(lem)(me)\b", re.I), r"\1 \2"),
     (re.compile(r"\b(wan)(na)\b", re.I), r"\1 \2"),
+    (re.compile(r"\b(more)('n)\b", re.I), r"\1 \2"),
 ]
 
 
 def ptb_tokenize(caption: str) -> List[str]:
     """Penn-Treebank-style word tokenization, lowercased, punctuation
-    dropped — mirrors the behavior of coco-caption's PTBTokenizer
-    (reference ``metrics.py:132-158``)."""
-    s = caption.strip()
-    # separate out standard punctuation
-    s = re.sub(r"([,.;:!?()\[\]{}\"])", r" \1 ", s)
-    # split contractions: n't, 's, 're, 've, 'll, 'd, 'm
+    dropped — emulates the reference's CoreNLP ``PTBTokenizer
+    -preserveLines -lowerCase`` subprocess + post-filter
+    (``metrics.py:132-173``; no JVM dependency). Golden behaviors covered
+    by ``tests/fixtures/ptb_tokenizer_golden.json``:
+
+    - brackets become ``-lrb-``-style tokens (and survive the
+      case-sensitive punctuation filter, like the reference);
+    - ``.``/``,`` inside numbers stay attached (``3.5``, ``1,000``);
+    - contractions split off (``do n't``, ``dog 's``); assimilations split
+      (``gon na``); hyphenated words stay whole;
+    - ``$``/``%``/``&``/``@`` are kept as separate tokens;
+    - quotes, ellipses and standalone punctuation are dropped.
+    """
+    s = caption.strip().replace("\n", " ")
+    # ellipses → the PTB "..." token (dropped by the filter below)
+    s = re.sub(r"\.\.\.+", " ... ", s)
+    for raw, tok in _BRACKETS.items():
+        s = s.replace(raw, f" {tok} ")
+    # double quotes → PTB quote pair tokens (both filtered out)
+    s = s.replace('"', " '' ")
+    # separate . and , except between digits (keep 3.5 / 1,000 intact)
+    s = re.sub(r"([.,])(?![0-9])", r" \1 ", s)
+    s = re.sub(r"(?<![0-9])([.,])", r" \1 ", s)
+    # always-separated symbols ($ 5, 50 %, black & white)
+    s = re.sub(r"([;:!?$%&@#*+=<>/\\|~^])", r" \1 ", s)
+    # contractions: n't, then 's 're 've 'll 'd 'm; standalone apostrophes
     s = re.sub(r"\b(\w+)(n't)\b", r"\1 \2", s, flags=re.I)
     s = re.sub(r"(\w)('s|'re|'ve|'ll|'d|'m)\b", r"\1 \2", s, flags=re.I)
     for pat, repl in _CONTRACTIONS:
         s = pat.sub(repl, s)
+    # standalone / trailing apostrophes ("dogs'" → "dogs '"); an apostrophe
+    # followed by a word char is a contraction start and stays attached
+    s = re.sub(r"'(?!\w)", " ' ", s)
     tokens = s.lower().split()
-    return [t for t in tokens if t not in _PUNCT and not re.fullmatch(
-        r"[^\w]+", t)]
+    return [t for t in tokens if t not in _PUNCT]
 
 
 # ---------------------------------------------------------------------------
