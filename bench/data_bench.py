@@ -72,6 +72,17 @@ def main(n=300):
         results["native_nojitter_img_per_sec"] = round(
             n / (time.perf_counter() - t0), 1)
 
+        # OpenMP whole-batch path (one native call per 64 images; the win
+        # scales with host core count — this box has 1 core)
+        results["host_cores"] = os.cpu_count()
+        t0 = time.perf_counter()
+        for lo in range(0, n, 64):
+            chunk = blobs[lo:lo + 64]
+            pipe.batch(chunk, [None] * len(chunk),
+                       [np.random.RandomState(i) for i in range(len(chunk))])
+        results["native_batch_img_per_sec"] = round(
+            n / (time.perf_counter() - t0), 1)
+
     import json
     print(json.dumps(results))
 

@@ -30,7 +30,11 @@ def test_dims_and_full_decode():
     assert out.shape == (64, 64, 3) and out.dtype == np.float32
 
 
-def test_decode_matches_cv2_reference():
+def test_downscale_matches_cv2_inter_area():
+    """The shipped native path must track the behavioral reference's pixels:
+    cv2 selects INTER_AREA when shrinking (data/transforms.py `_resize`),
+    and so does the native dispatcher. Residual = JPEG-decoder differences
+    + cv2's fixed-point rounding, bounded tightly here (0..255 units)."""
     from virtex_tpu import native
     data, _ = jpeg_bytes(seed=3)
     out = native.decode_transform(
@@ -39,9 +43,24 @@ def test_decode_matches_cv2_reference():
     dec = cv2.imdecode(np.frombuffer(data, np.uint8),
                        cv2.IMREAD_COLOR)[:, :, ::-1]
     crop = dec[8:8 + 64, 16:16 + 64]
+    ref = cv2.resize(crop, (32, 32), interpolation=cv2.INTER_AREA)
+    delta = np.abs(out - ref.astype(np.float32))
+    assert delta.max() < 2.0 and delta.mean() < 0.5
+
+
+def test_upscale_matches_cv2_inter_linear():
+    from virtex_tpu import native
+    data, _ = jpeg_bytes(seed=4)
+    # 16x16 crop grown to 32 → bilinear branch
+    out = native.decode_transform(
+        data, (8, 16, 16, 16), 32, flip=False,
+        mean=np.zeros(3, np.float32), std=np.full(3, 1 / 255.0, np.float32))
+    dec = cv2.imdecode(np.frombuffer(data, np.uint8),
+                       cv2.IMREAD_COLOR)[:, :, ::-1]
+    crop = dec[8:8 + 16, 16:16 + 16]
     ref = cv2.resize(crop, (32, 32), interpolation=cv2.INTER_LINEAR)
-    # bilinear rounding conventions differ slightly between impls
-    assert np.abs(out - ref.astype(np.float32)).max() < 8.0
+    delta = np.abs(out - ref.astype(np.float32))
+    assert delta.max() < 4.0 and delta.mean() < 1.0
 
 
 def test_flip_is_mirror():
@@ -147,3 +166,56 @@ def test_captioning_dataset_native(tmp_path, rng):
     item = ds.__getitem__(0, rng=rng)
     assert item["image"].shape == (48, 48, 3)
     assert item["caption_tokens"][0] == 1
+
+
+def test_batch_fetch_bit_identical_to_per_item(tmp_path):
+    """dataset.get_batch (one OpenMP native call) must equal N single
+    __getitem__ calls with the same per-item RNGs — pixels, captions,
+    tokens."""
+    from tests.utils_fixtures import make_fake_coco, make_tokenizer
+    from virtex_tpu.data import CaptioningDataset
+    from virtex_tpu.data.loader import item_rng
+
+    root = make_fake_coco(str(tmp_path / "coco"), n_images=6)
+    tok = make_tokenizer(tmp_path)
+    ds = CaptioningDataset(root, "train", tok, max_caption_length=12,
+                           use_native=True, crop_size=48)
+    assert ds.supports_batch_fetch
+    indices = [0, 3, 1, 5]
+    batch_items = ds.get_batch(indices,
+                               [item_rng(7, 0, i) for i in indices])
+    for got, i in zip(batch_items, indices):
+        want = ds.__getitem__(i, rng=item_rng(7, 0, i))
+        for k in want:
+            np.testing.assert_array_equal(got[k], want[k], err_msg=k)
+
+
+def test_loader_uses_batch_fetch_same_stream(tmp_path):
+    """The DataLoader stream must be identical whether the dataset serves
+    batched (native OpenMP) or per-item fetches."""
+    from tests.utils_fixtures import make_fake_coco, make_tokenizer
+    from virtex_tpu.data import CaptioningDataset
+    from virtex_tpu.data.loader import DataLoader
+
+    root = make_fake_coco(str(tmp_path / "coco"), n_images=8)
+    tok = make_tokenizer(tmp_path)
+    ds = CaptioningDataset(root, "train", tok, max_caption_length=12,
+                           use_native=True, crop_size=48)
+
+    def stream(force_per_item, workers):
+        if force_per_item:
+            ds.supports_batch_fetch = False
+        else:
+            ds.supports_batch_fetch = True
+        ld = DataLoader(ds, batch_size=4, shuffle=True, seed=3,
+                        num_workers=workers, infinite=True)
+        it = iter(ld)
+        return [next(it) for _ in range(4)]
+
+    ref = stream(True, 0)
+    for force, workers in [(False, 0), (False, 2)]:
+        got = stream(force, workers)
+        for b_got, b_ref in zip(got, ref):
+            for k in b_ref:
+                np.testing.assert_array_equal(b_got[k], b_ref[k])
+    ds.supports_batch_fetch = True

@@ -60,6 +60,10 @@ class CaptioningDataset:
         self.padding_idx = tokenizer.token_to_id("<unk>")
         self.sos_id = tokenizer.token_to_id("[SOS]")
         self.eos_id = tokenizer.token_to_id("[EOS]")
+        # loader hint: whole-batch fetch pays off only on the OpenMP path
+        self.supports_batch_fetch = (
+            self.native_pipeline is not None
+            and hasattr(self.native_pipeline, "batch"))
 
     def __len__(self) -> int:
         return len(self._dset)
@@ -74,6 +78,9 @@ class CaptioningDataset:
 
         tokens = [self.sos_id, *self.tokenizer.encode(caption), self.eos_id]
         tokens = tokens[: self.max_caption_length]
+        return self._item(image_id, image, tokens)
+
+    def _item(self, image_id, image, tokens) -> Dict[str, np.ndarray]:
         return {
             "image_id": np.asarray(image_id, dtype=np.int32),
             "image": image_array(image),
@@ -81,6 +88,29 @@ class CaptioningDataset:
             "noitpac_tokens": np.asarray(tokens[::-1], dtype=np.int32),
             "caption_lengths": np.asarray(len(tokens), dtype=np.int32),
         }
+
+    def get_batch(self, indices: List[int],
+                  rngs: List[np.random.RandomState]
+                  ) -> List[Dict[str, np.ndarray]]:
+        """Whole-batch fetch: the native pipeline's OpenMP batch call does
+        all pixel work in one C++ pass (the loader prefers this hook when
+        present). RNG draws match N single ``__getitem__`` calls exactly."""
+        if self.native_pipeline is None or not hasattr(
+                self.native_pipeline, "batch"):
+            return [self.__getitem__(i, rng=r)
+                    for i, r in zip(indices, rngs)]
+        raws = [self._dset.raw(i) for i in indices]
+        # caption choice FIRST, like load_image_caption's native branch
+        captions = [r["captions"][rng.randint(len(r["captions"]))]
+                    for r, rng in zip(raws, rngs)]
+        images, captions = self.native_pipeline.batch(
+            [r["jpeg"] for r in raws], captions, rngs)
+        items = []
+        for raw, image, caption in zip(raws, images, captions):
+            tokens = [self.sos_id, *self.tokenizer.encode(caption),
+                      self.eos_id][: self.max_caption_length]
+            items.append(self._item(raw["image_id"], image, tokens))
+        return items
 
     def collate_fn(self, data: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         T = self.max_caption_length

@@ -154,6 +154,13 @@ class DataLoader:
         except TypeError:
             return self.dataset[idx]
 
+    def _fetch_batch(self, pairs):
+        """Whole-batch fetch through the dataset's ``get_batch`` hook (one
+        OpenMP-parallel native call instead of per-item Python hops);
+        identical RNG semantics to per-item ``_fetch``."""
+        rngs = [item_rng(self.seed, e, i) for e, i in pairs]
+        return self.dataset.get_batch([i for _, i in pairs], rngs)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches_per_epoch = len(self)
         remainder = (0 if self.drop_last
@@ -177,9 +184,15 @@ class DataLoader:
                 # final short batch (eval only; shapes trigger one recompile)
                 yield [next(pair_stream) for _ in range(remainder)]
 
+        # Datasets advertise whole-batch fetching only when their native
+        # OpenMP path is live (a Python fallback would serialise the batch
+        # and lose the thread pool's parallelism).
+        batched_fetch = getattr(self.dataset, "supports_batch_fetch", False)
+
         if self.num_workers == 0:
             for pairs in batch_pairs():
-                items = [self._fetch(e, i) for e, i in pairs]
+                items = (self._fetch_batch(pairs) if batched_fetch
+                         else [self._fetch(e, i) for e, i in pairs])
                 batch = self.collate_fn(items)
                 if self.infinite:
                     self.items_consumed += len(pairs)
@@ -195,9 +208,14 @@ class DataLoader:
                     for pairs in batch_pairs():
                         if stop.is_set():
                             return
-                        futures = [pool.submit(self._fetch, e, i)
-                                   for e, i in pairs]
-                        items = [f.result() for f in futures]
+                        if batched_fetch:
+                            # one task: C++ fans the batch over cores
+                            items = pool.submit(
+                                self._fetch_batch, pairs).result()
+                        else:
+                            futures = [pool.submit(self._fetch, e, i)
+                                       for e, i in pairs]
+                            items = [f.result() for f in futures]
                         batch = self.collate_fn(items)
                         while not stop.is_set():
                             try:

@@ -110,6 +110,42 @@ class NativeCaptionTrainPipeline:
             caption = self._word_swap.swap_words(caption)
         return img, caption
 
+    def batch(self, jpegs, captions, rngs):
+        """Whole-batch variant: parameters are drawn per item in EXACTLY the
+        same RNG order as ``__call__`` (dims → crop → flip → jitter), so a
+        batch call is bit-identical to N single calls with the same RNGs;
+        the pixel work then fans over cores in ONE OpenMP native call
+        (``vtx_batch_decode_transform_jitter``) with a single GIL release.
+        Returns (images (N, S, S, 3), possibly word-swapped captions)."""
+        n = len(jpegs)
+        rects = np.empty((n, 4), np.int32)
+        flips = np.zeros(n, np.int32)
+        jitters = np.zeros((n, 9), np.float32)
+        out_captions = list(captions)
+        for i, (jpeg, rng) in enumerate(zip(jpegs, rngs)):
+            h, w = self._native.jpeg_dims(jpeg)
+            rects[i] = sample_random_resized_crop(h, w, rng, self.scale)
+            flip = bool(rng.uniform() < self.flip_p)
+            flips[i] = int(flip)
+            jit = self._sample_jitter(rng)
+            if jit is not None:
+                jitters[i] = jit
+            if flip and out_captions[i] is not None:
+                out_captions[i] = self._word_swap.swap_words(out_captions[i])
+        if self.emit_uint8:
+            imgs = self._native.batch_decode_transform(
+                jpegs, rects, flips, self.crop_size,
+                mean=np.zeros(3, np.float32),
+                std=np.full(3, 1 / 255.0, np.float32), jitters=jitters)
+            imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+        else:
+            imgs = self._native.batch_decode_transform(
+                jpegs, rects, flips, self.crop_size,
+                mean=np.asarray(IMAGENET_COLOR_MEAN, np.float32),
+                std=np.asarray(IMAGENET_COLOR_STD, np.float32),
+                jitters=jitters)
+        return imgs, out_captions
+
 
 class NativeEvalPipeline:
     """smallest_resize(resize) + center_crop(crop) + normalize, one call."""

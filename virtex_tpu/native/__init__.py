@@ -123,10 +123,14 @@ def batch_decode_transform(blobs: Sequence[bytes],
                            rects: np.ndarray, flips: np.ndarray,
                            out_size: int,
                            mean: np.ndarray = IMAGENET_MEAN,
-                           std: np.ndarray = IMAGENET_STD) -> np.ndarray:
-    """OpenMP-parallel batch of fused transforms.
+                           std: np.ndarray = IMAGENET_STD,
+                           jitters: Optional[np.ndarray] = None) -> np.ndarray:
+    """OpenMP-parallel batch of fused transforms (the C++ side fans the
+    per-image work over cores; one GIL release for the whole batch).
 
     rects: (N, 4) int32 (y, x, h, w), h/w ≤ 0 → full image.
+    jitters: optional (N, 9) float32 from :func:`jitter_params` (a zero
+    first element disables jitter for that image).
     Returns (N, out_size, out_size, 3) float32; undecodable slots are zero.
     """
     lib = _load()
@@ -140,14 +144,21 @@ def batch_decode_transform(blobs: Sequence[bytes],
     rects = np.ascontiguousarray(rects, np.int32)
     flips = np.ascontiguousarray(flips, np.int32)
     out = np.empty((n, out_size, out_size, 3), np.float32)
-    lib.vtx_batch_decode_transform(
-        buf_ptrs, lens,
-        rects.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        flips.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        n, out_size,
-        mean.astype(np.float32).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_float)),
-        std.astype(np.float32).ctypes.data_as(
-            ctypes.POINTER(ctypes.c_float)),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    mean_p = mean.astype(np.float32).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_float))
+    std_p = std.astype(np.float32).ctypes.data_as(
+        ctypes.POINTER(ctypes.c_float))
+    out_p = out.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    rects_p = rects.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    flips_p = flips.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
+    if jitters is None:
+        lib.vtx_batch_decode_transform(
+            buf_ptrs, lens, rects_p, flips_p, n, out_size, mean_p, std_p,
+            out_p)
+    else:
+        jit = np.ascontiguousarray(jitters, np.float32)
+        lib.vtx_batch_decode_transform_jitter(
+            buf_ptrs, lens, rects_p, flips_p,
+            jit.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, out_size, mean_p, std_p, out_p)
     return out

@@ -1,5 +1,6 @@
-// virtex_tpu native data-plane: fused JPEG decode + crop + bilinear resize +
-// flip + ImageNet normalization, C ABI for ctypes.
+// virtex_tpu native data-plane: fused JPEG decode + crop + resize (area
+// when shrinking / bilinear when growing, cv2's rule) + flip + ImageNet
+// normalization, C ABI for ctypes.
 //
 // Role: the reference's host-side hot path is cv2 decode + albumentations
 // per item on CPU workers (SURVEY §3.1 hot loops); at TPU throughput targets
@@ -104,6 +105,67 @@ void resize_normalize(const uint8_t* src, int src_h, int src_w,
         px[c] = (val - mean[c]) * inv_std[c];
       }
     }
+  }
+}
+
+// Area-averaged downscale (cv2 INTER_AREA semantics): each output pixel is
+// the mean of its source footprint [oy·sy, (oy+1)·sy) × [ox·sx, (ox+1)·sx)
+// with fractional edge weights. The behavioral-reference cv2 path selects
+// INTER_AREA whenever either axis shrinks (data/transforms.py `_resize`);
+// this keeps the shipped native pixels aligned with it (golden-tested in
+// tests/test_native.py).
+void resize_area_normalize(const uint8_t* src, int src_h, int src_w,
+                           int cy, int cx, int ch, int cw, int out_size,
+                           bool flip, const float* mean, const float* inv_std,
+                           float* dst) {
+  const float sy = float(ch) / out_size;
+  const float sx = float(cw) / out_size;
+  const float inv_area = 1.0f / (sy * sx);
+  for (int oy = 0; oy < out_size; ++oy) {
+    const float fy0 = oy * sy;
+    const float fy1 = fy0 + sy;
+    const int iy0 = int(fy0);
+    const int iy1 = std::min(int(std::ceil(fy1)), ch);
+    for (int ox = 0; ox < out_size; ++ox) {
+      const float fx0 = ox * sx;
+      const float fx1 = fx0 + sx;
+      const int ix0 = int(fx0);
+      const int ix1 = std::min(int(std::ceil(fx1)), cw);
+      float acc[3] = {0.f, 0.f, 0.f};
+      for (int y = iy0; y < iy1; ++y) {
+        const float wy =
+            std::min(fy1, float(y + 1)) - std::max(fy0, float(y));
+        const uint8_t* row = src + (size_t(cy + y) * src_w + cx) * 3;
+        for (int x = ix0; x < ix1; ++x) {
+          const float w =
+              wy * (std::min(fx1, float(x + 1)) - std::max(fx0, float(x)));
+          const uint8_t* p = row + size_t(x) * 3;
+          acc[0] += w * p[0];
+          acc[1] += w * p[1];
+          acc[2] += w * p[2];
+        }
+      }
+      const int out_x = flip ? (out_size - 1 - ox) : ox;
+      float* px = dst + (size_t(oy) * out_size + out_x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        const float v = acc[c] * inv_area * (1.0f / 255.0f);
+        px[c] = (v - mean[c]) * inv_std[c];
+      }
+    }
+  }
+}
+
+// cv2-rule dispatch: area when either crop axis shrinks, else bilinear.
+void resize_dispatch_normalize(const uint8_t* src, int src_h, int src_w,
+                               int cy, int cx, int ch, int cw, int out_size,
+                               bool flip, const float* mean,
+                               const float* inv_std, float* dst) {
+  if (ch > out_size || cw > out_size) {
+    resize_area_normalize(src, src_h, src_w, cy, cx, ch, cw, out_size, flip,
+                          mean, inv_std, dst);
+  } else {
+    resize_normalize(src, src_h, src_w, cy, cx, ch, cw, out_size, flip,
+                     mean, inv_std, dst);
   }
 }
 
@@ -225,15 +287,15 @@ int vtx_decode_crop_resize_jitter_normalize(
   const bool jit = jitter != nullptr && jitter[0] != 0.f;
   if (!jit) {
     float inv_std[3] = {1.0f / std[0], 1.0f / std[1], 1.0f / std[2]};
-    resize_normalize(rgb.data(), h, w, cy, cx, ch, cw, out_size, flip != 0,
-                     mean, inv_std, dst);
+    resize_dispatch_normalize(rgb.data(), h, w, cy, cx, ch, cw, out_size,
+                              flip != 0, mean, inv_std, dst);
     return 0;
   }
   // jitter path: sample to [0,255] floats, jitter, then normalize in place.
   float raw_mean[3] = {0.f, 0.f, 0.f};
   float raw_inv_std[3] = {255.f, 255.f, 255.f};  // (x/255 - 0) * 255 = x
-  resize_normalize(rgb.data(), h, w, cy, cx, ch, cw, out_size, flip != 0,
-                   raw_mean, raw_inv_std, dst);
+  resize_dispatch_normalize(rgb.data(), h, w, cy, cx, ch, cw, out_size,
+                            flip != 0, raw_mean, raw_inv_std, dst);
   const int n_px = out_size * out_size;
   apply_jitter(dst, n_px, jitter);
   for (int i = 0; i < n_px; ++i) {
