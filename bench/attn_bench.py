@@ -1,8 +1,9 @@
 r"""
-Fused Pallas attention vs XLA einsum attention, at VirTex shapes
-(B·K beams × heads over ≤30 caption + 49 visual tokens) and larger.
+Fused Pallas attention (the TPU default) vs the XLA einsum path, at VirTex
+shapes (B·K beams × heads over ≤30 caption + 49 visual tokens) and larger.
+Forward A/B plus a fwd+bwd (training-direction) A/B per shape.
 
-Usage: VIRTEX_TPU_PALLAS=1 python bench/attn_bench.py
+Usage: python bench/attn_bench.py   (VIRTEX_TPU_NO_PALLAS=1 flips default)
 """
 from __future__ import annotations
 
@@ -52,10 +53,23 @@ def main():
         t_xla = timeit(xla, q, k, v)
         row = {"shape": f"B{B} Tq{Tq} Tk{Tk} N{N} D{D}",
                "xla_us": round(t_xla, 1)}
+
+        def grads_of(attn_fn):
+            def loss(q, k, v):
+                return jnp.sum(attn_fn(q, k, v, mask).astype(jnp.float32)
+                               ** 2)
+            return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+
+        row["xla_fwdbwd_us"] = round(timeit(grads_of(A.xla_attention),
+                                            q, k, v), 1)
         if A.pallas_available():
             fused = jax.jit(lambda q, k, v: A.fused_attention(q, k, v, mask))
             row["pallas_us"] = round(timeit(fused, q, k, v), 1)
             row["speedup"] = round(t_xla / row["pallas_us"], 2)
+            row["pallas_fwdbwd_us"] = round(
+                timeit(grads_of(A.fused_attention), q, k, v), 1)
+            row["fwdbwd_speedup"] = round(
+                row["xla_fwdbwd_us"] / row["pallas_fwdbwd_us"], 2)
         results.append(row)
         print(json.dumps(row))
 

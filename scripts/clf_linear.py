@@ -3,8 +3,9 @@ Linear probe / fine-tune a pretrained visual backbone on ImageNet or
 iNaturalist.
 
 Parity target: reference ``scripts/clf_linear.py:70-302`` — two configs
-(downstream + pretrain), weight init ∈ {random, virtex}, frozen backbone for
-the linear probe, top-1 accuracy on val, periodic checkpoints.
+(downstream + pretrain), weight init ∈ {random, imagenet, torchvision,
+virtex}, frozen backbone for the linear probe, top-1 accuracy on val,
+periodic checkpoints, tensorboard metric channel.
 """
 from __future__ import annotations
 
@@ -89,6 +90,31 @@ def main(_A) -> None:
         variables["params"]["visual"] = full["params"]["visual"]
         variables["batch_stats"]["visual"] = full["batch_stats"]["visual"]
         logger.info(f"Loaded visual backbone from {_A.checkpoint_path}")
+    elif _A.weight_init == "torchvision" and _A.checkpoint_path:
+        # torch training-script checkpoint ({"state_dict": ...} .pth) —
+        # reference loads it with strict=False into the torchvision cnn
+        # (clf_linear.py:137-141); here it converts into the flax tree.
+        from virtex_tpu.utils.checkpoint_convert import (
+            convert_resnet,
+            load_torch_checkpoint,
+        )
+        params, stats = convert_resnet(load_torch_checkpoint(
+            _A.checkpoint_path))
+        variables["params"]["visual"]["cnn"] = params
+        variables["batch_stats"]["visual"]["cnn"] = stats
+        logger.info(f"Converted torch backbone from {_A.checkpoint_path}")
+    elif _A.weight_init == "imagenet":
+        # torchvision model-zoo weights (needs torchvision + cached weights)
+        import torchvision
+
+        from virtex_tpu.utils.checkpoint_convert import convert_resnet
+        arch = backbone_cfg.MODEL.VISUAL.NAME.split("::")[-1]
+        tv_model = getattr(torchvision.models, arch)(pretrained=True)
+        params, stats = convert_resnet(
+            {k: v.numpy() for k, v in tv_model.state_dict().items()})
+        variables["params"]["visual"]["cnn"] = params
+        variables["batch_stats"]["visual"]["cnn"] = stats
+        logger.info(f"Loaded imagenet {arch} weights from torchvision")
     elif _A.weight_init != "random":
         logger.warning(f"weight-init {_A.weight_init}: no checkpoint given, "
                        "training from random init")
@@ -119,6 +145,14 @@ def main(_A) -> None:
     ckpt = CheckpointManager(_A.serialization_dir, keep_recent=5)
     timer = Timer(total_iterations=_DOWNC.OPTIM.NUM_ITERATIONS)
     rng = jax.random.PRNGKey(_DOWNC.RANDOM_SEED)
+    # tensorboard channel (reference clf_linear.py:270-277)
+    writer = None
+    if dist.is_master_process():
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            writer = SummaryWriter(log_dir=_A.serialization_dir)
+        except Exception:
+            pass
 
     with mesh:
         batch = sample
@@ -128,23 +162,35 @@ def main(_A) -> None:
             batch = shard_batch(next(train_iter), mesh)
             timer.toc()
             if iteration % _A.log_every == 0:
-                logger.info(f"{timer.stats} | loss "
-                            f"{float(metrics['loss']):.4f}")
+                loss = float(metrics["loss"])
+                logger.info(f"{timer.stats} | loss {loss:.4f}")
+                if writer:
+                    writer.add_scalar("train/loss", loss, iteration)
             if iteration % _A.checkpoint_every == 0:
                 acc = evaluate(model, state, val_ds, per_host, mesh,
                                _A.cpu_workers)
                 logger.info(f"Val top-1 @ {iteration}: {acc:.2f}")
-                if dist.is_master_process():
-                    ckpt.step(state, iteration, metric=acc)
+                if writer:
+                    writer.add_scalar(
+                        f"metrics/{dataset_name}_top1", acc, iteration)
+                # collective save: every process participates
+                ckpt.step(state, iteration, metric=acc)
 
     acc = evaluate(model, state, val_ds, per_host, mesh, _A.cpu_workers)
     logger.info(f"Final {dataset_name} top-1: {acc:.2f}")
+    if writer:
+        writer.add_scalar(f"metrics/{dataset_name}_top1", acc,
+                          _DOWNC.OPTIM.NUM_ITERATIONS)
     print(f'{{"metric": "{dataset_name}_top1", "value": {acc:.3f}}}')
 
 
 def evaluate(model, state, val_ds, batch_size, mesh, workers) -> float:
+    # Full val split like the reference: the tail batch is PADDED to the
+    # static size (keeps shapes mesh-divisible, no recompile) and the
+    # duplicate rows are trimmed host-side before scoring.
     loader = DataLoader(val_ds, batch_size, shuffle=False,
                         num_workers=workers, infinite=False,
+                        drop_last=False, pad_final=True,
                         num_shards=dist.get_world_size(),
                         shard_index=dist.get_rank())
     top1 = TopkAccuracy(top_k=1)
@@ -156,10 +202,13 @@ def evaluate(model, state, val_ds, batch_size, mesh, workers) -> float:
                           batch, train=False)
         return out["logits"]
 
+    remaining = len(val_ds) // dist.get_world_size()
     for batch in loader:
         sharded = shard_batch(batch, mesh)
         logits = jax.device_get(logits_fn(state, sharded))
-        top1(logits, batch["label"])
+        take = min(len(logits), remaining)
+        top1(logits[:take], batch["label"][:take])
+        remaining -= take
     return float(dist.average_across_processes(
         np.asarray(top1.get_metric(reset=True))))
 
@@ -169,7 +218,12 @@ if __name__ == "__main__":
                                        "ImageNet or iNaturalist.")
     parser.add_argument("--down-config", metavar="FILE", required=True,
                         help="Downstream config yaml.")
-    parser.add_argument("--weight-init", choices=["random", "virtex"],
-                        default="virtex")
+    parser.add_argument(
+        "--weight-init",
+        choices=["random", "imagenet", "torchvision", "virtex"],
+        default="virtex",
+        help="random = fresh; imagenet = torchvision model zoo; torchvision "
+             "= torch .pth from --checkpoint-path; virtex = our pretrained "
+             "checkpoint (reference clf_linear.py:130-142).")
     parser.add_argument("--checkpoint-path", default=None)
     main(parser.parse_args())

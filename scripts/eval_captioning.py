@@ -45,9 +45,12 @@ def main(_A) -> None:
     else:
         dataset = PretrainingDatasetFactory.from_config(_C, split="val")
 
+    # pad_final: keep every batch the static size so the compiled decode is
+    # built ONCE (a short tail batch would recompile it); duplicated tail
+    # items are deduped below via the seen-ids set.
     loader = DataLoader(dataset, _A.batch_size, shuffle=False,
                         num_workers=_A.cpu_workers, infinite=False,
-                        drop_last=False,
+                        drop_last=False, pad_final=True,
                         collate_fn=getattr(dataset, "collate_fn", None))
 
     model = PretrainingModelFactory.from_config(_C)
@@ -76,6 +79,7 @@ def main(_A) -> None:
     caption_fn = make_caption_fn(model, decoder, sos_index=_C.DATA.SOS_INDEX)
 
     predictions = []
+    seen_ids = set()
     for batch in loader:
         images = jax.numpy.asarray(batch["image"])
         preds = caption_fn(variables, images,
@@ -84,6 +88,9 @@ def main(_A) -> None:
                                       eos_index=_C.DATA.EOS_INDEX)
         ids = np.asarray(batch["image_id"])
         for img_id, caption in zip(ids.tolist(), captions):
+            if img_id in seen_ids:  # pad_final duplicate
+                continue
+            seen_ids.add(img_id)
             predictions.append({"image_id": img_id, "caption": caption})
 
     logger.info("Sample predictions:")

@@ -233,3 +233,26 @@ def test_pad_stack_truncates():
     out = pad_stack([np.arange(40)], 30, 0)
     assert out.shape == (1, 30)
     assert (out[0] == np.arange(30)).all()
+
+
+def test_center_crop_upscales_small_images():
+    """Documented divergence: images smaller than the crop are upscaled to
+    the static size (albumentations would error; XLA needs fixed shapes)."""
+    img = np.arange(20 * 30 * 3, dtype=np.uint8).reshape(20, 30, 3)
+    out, _ = T.CenterSquareCrop(64)(img, None)
+    assert out.shape == (64, 64, 3)
+
+
+def test_loader_pad_final_keeps_static_shapes():
+    from virtex_tpu.data.loader import DataLoader as DL
+
+    ld = DL(_RecordingDataset(), batch_size=5, shuffle=False, num_workers=0,
+            infinite=False, drop_last=False, pad_final=True)
+    batches = list(iter(ld))
+    # 13 items, batch 5 → 2 full + padded tail (3 real + 2 repeats)
+    assert [b["idx"].shape[0] for b in batches] == [5, 5, 5]
+    tail = batches[-1]["idx"]
+    np.testing.assert_array_equal(tail, [10, 11, 12, 10, 11])
+    # padded duplicates are exact copies (same rng draw)
+    draws = batches[-1]["draw"]
+    assert draws[0] == draws[3] and draws[1] == draws[4]

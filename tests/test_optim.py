@@ -108,6 +108,38 @@ def test_lookahead_matches_reference_simulation():
                                    err_msg=f"step {i}")
 
 
+def test_lookahead_slow_params_extraction():
+    """Eval-on-slow-weights capability (reference lookahead.py:104-129):
+    lookahead_slow_params pulls the slow copy out of a live optimizer state
+    and it tracks the reference update rule."""
+    from virtex_tpu.optim.optimizer import lookahead_slow_params
+
+    k, alpha, lr = 3, 0.5, 0.1
+    tx = optax.chain(optax.sgd(lr), lookahead(k=k, alpha=alpha))
+    params = {"w": jnp.asarray(1.0)}
+    state = tx.init(params)
+
+    fast, slow = 1.0, 1.0
+    for i, g in enumerate([0.5, -0.2, 0.3, 0.1]):
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+        fast = fast - lr * g
+        if (i + 1) % k == 0:
+            fast = slow + alpha * (fast - slow)
+            slow = fast
+        slow_tree = lookahead_slow_params(state)
+        assert slow_tree is not None
+        np.testing.assert_allclose(float(slow_tree["w"]), slow, rtol=1e-6,
+                                   err_msg=f"step {i}")
+    # mid-cycle: slow copy differs from the live fast params
+    assert float(slow_tree["w"]) != float(params["w"])
+
+    # chains without lookahead fall back to the given params
+    tx2 = optax.chain(optax.sgd(lr))
+    state2 = tx2.init(params)
+    assert lookahead_slow_params(state2, fallback_params=params) is params
+
+
 def test_full_chain_sgd_matches_torch_semantics():
     """clip → wd-coupled sgd+momentum → dual-lr: simulate torch param groups."""
     import torch

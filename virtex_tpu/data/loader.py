@@ -120,6 +120,7 @@ class DataLoader:
         shard_index: int = 0,
         collate_fn: Optional[Callable] = None,
         drop_last: bool = True,
+        pad_final: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -128,6 +129,11 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.infinite = infinite
         self.drop_last = drop_last or infinite
+        # pad_final: repeat the short final batch's items up to batch_size
+        # so every batch has the SAME static shape (one compiled program —
+        # XLA would otherwise recompile for the tail shape). Consumers that
+        # need exact per-item results dedupe by id (duplicates are copies).
+        self.pad_final = pad_final and not self.drop_last
         self.collate_fn = collate_fn or dataset.collate_fn
         self.sampler = ShardedSampler(
             len(dataset), shuffle=shuffle, seed=seed,
@@ -181,8 +187,13 @@ class DataLoader:
                 yield [next(pair_stream) for _ in range(self.batch_size)]
                 n += 1
             if remainder:
-                # final short batch (eval only; shapes trigger one recompile)
-                yield [next(pair_stream) for _ in range(remainder)]
+                tail = [next(pair_stream) for _ in range(remainder)]
+                if self.pad_final:
+                    # cycle the tail's own items up to the static batch size
+                    tail = tail + [tail[i % remainder]
+                                   for i in range(self.batch_size - remainder)]
+                # without padding: short batch (shapes trigger one recompile)
+                yield tail
 
         # Datasets advertise whole-batch fetching only when their native
         # OpenMP path is live (a Python fallback would serialise the batch

@@ -79,7 +79,15 @@ class RandomResizedSquareCrop(Transform):
 
 
 class CenterSquareCrop(Transform):
-    """Center crop to a square of ``size`` (``transforms.py:54-62``)."""
+    """Center crop to a square of ``size`` (``transforms.py:54-62``).
+
+    Behavioral divergence, by design: an image SMALLER than ``size`` is
+    upscaled to the full crop (static output shapes are non-negotiable for
+    XLA), where albumentations' CenterCrop raises. COCO/ImageNet images are
+    always larger than the 224 crop after the standard smallest-resize(256),
+    so the branch only triggers on degenerate inputs; tested in
+    test_data.py::test_center_crop_upscales_small_images.
+    """
 
     def __init__(self, size: int, p: float = 1.0):
         self.size = size
