@@ -35,8 +35,12 @@ def token_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
     semantics (mean over counted tokens only).
     """
     logits = logits.astype(jnp.float32)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    # nll = logsumexp − target logit: never materialises the (B, T, V)
+    # log-prob tensor (log_softmax would write+reread ~1.5 GB in f32 at the
+    # flagship 10k vocab; the reductions here fuse into the logits read)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+    nll = lse - tgt
     mask = (targets != ignore_index).astype(jnp.float32)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 

@@ -110,8 +110,14 @@ class TransformerTextualHead(nn.Module):
         return self.visual_projection(tokens)
 
     def output_logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
-        return (self.embedding.attend(hidden).astype(jnp.float32)
-                + self.output_bias)
+        # Logits stay in the compute dtype: the tied-embedding matmul
+        # already truncated its f32 accumulator to `dtype`, so upcasting
+        # HERE adds no precision — it only doubles the HBM traffic of the
+        # (B, T, 10000) tensors on the loss path. Losses/softmax upcast to
+        # f32 at their (fused) reduction sites.
+        logits = self.embedding.attend(hidden)
+        return (logits.astype(jnp.float32)
+                + self.output_bias).astype(logits.dtype)
 
     # -- training forward ----------------------------------------------------
     def __call__(self, visual_grid, caption_tokens, caption_lengths,
