@@ -123,11 +123,19 @@ def main(_A) -> None:
 
     ckpt_mgr = CheckpointManager(_A.serialization_dir, keep_recent=100)
     start_iteration = 0
-    if _A.resume_from:
-        state, start_iteration = ckpt_mgr.load(_A.resume_from, state,
+    resume_path = _A.resume_from
+    if resume_path == "latest":
+        # preemptible-VM convenience: restart with the same command and pick
+        # up from the newest checkpoint in the serialization dir (if any)
+        resume_path = ckpt_mgr.latest()
+        if resume_path is None:
+            logger.info("--resume-from latest: no checkpoint yet, "
+                        "starting fresh")
+    if resume_path:
+        state, start_iteration = ckpt_mgr.load(resume_path, state,
                                                loader=train_loader)
         train_iter = iter(train_loader)  # re-enter at the restored position
-        logger.info(f"Resumed from {_A.resume_from} at {start_iteration}")
+        logger.info(f"Resumed from {resume_path} at {start_iteration}")
     # Schedule multipliers are pure functions of the step; recompute them
     # host-side for the reference's per-param-group LR curves
     # (pretrain_virtex.py:172-183).

@@ -256,3 +256,29 @@ def test_loader_pad_final_keeps_static_shapes():
     # padded duplicates are exact copies (same rng draw)
     draws = batches[-1]["draw"]
     assert draws[0] == draws[3] and draws[1] == draws[4]
+
+
+def test_sharded_loader_resume_replays_identically():
+    """Resume correctness holds per shard: each host's loader replays its
+    own stream from the restored position."""
+    from virtex_tpu.data.loader import DataLoader as DL
+
+    def make(shard):
+        return DL(_RecordingDataset(), batch_size=2, shuffle=True, seed=4,
+                  num_workers=0, infinite=True, num_shards=2,
+                  shard_index=shard)
+
+    for shard in (0, 1):
+        ref_it = iter(make(shard))
+        ref = [next(ref_it) for _ in range(8)]
+        first = make(shard)
+        it = iter(first)
+        for _ in range(3):
+            next(it)
+        resumed = make(shard)
+        resumed.load_state_dict(first.state_dict())
+        it2 = iter(resumed)
+        for want in ref[3:]:
+            got = next(it2)
+            for k in want:
+                np.testing.assert_array_equal(got[k], want[k])

@@ -119,6 +119,35 @@ def test_tp_sharded_save_restore(tmp_path):
         assert np.isfinite(float(m["loss"]))
 
 
+def test_restore_across_mesh_shapes(tmp_path):
+    """Elasticity: a checkpoint written under one mesh layout restores into
+    a template laid out on a DIFFERENT mesh (orbax reshards to the
+    template's shardings) — scale-up/down between runs just works."""
+    from virtex_tpu.engine import place_state
+    from virtex_tpu.parallel import create_mesh
+
+    model, tx, state, batch = build()
+
+    mesh_a = create_mesh(data=8, model=1)
+    state_a = place_state(state, mesh_a)
+    mgr = CheckpointManager(str(tmp_path / "ck"), keep_recent=2,
+                            async_save=False)
+    mgr.step(state_a, 5)
+
+    mesh_b = create_mesh(data=4, model=2)
+    template_b = place_state(state, mesh_b)
+    restored, it = mgr.load(mgr.latest(), template_b)
+    assert it == 5
+    qk = restored.params["textual"]["transformer"]["layer_0"][
+        "self_attn"]["query"]["kernel"]
+    assert qk.sharding == template_b.params["textual"]["transformer"][
+        "layer_0"]["self_attn"]["query"]["kernel"].sharding
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        jax.device_get(state.params), jax.device_get(restored.params))
+
+
 def test_old_format_checkpoint_still_loads(tmp_path):
     """Round-1 checkpoints have no 'loader' entry; load() must sniff and
     skip it."""
