@@ -219,3 +219,29 @@ def test_loader_uses_batch_fetch_same_stream(tmp_path):
             for k in b_ref:
                 np.testing.assert_array_equal(b_got[k], b_ref[k])
     ds.supports_batch_fetch = True
+
+
+@pytest.mark.parametrize("dataset_name", ["masked_lm", "token_cls"])
+def test_batch_fetch_parity_other_caption_datasets(tmp_path, dataset_name):
+    """masked-LM and token-classification get_batch (OpenMP path) must be
+    bit-identical to per-item fetches — incl. the masking RNG stream."""
+    from tests.utils_fixtures import make_fake_coco, make_tokenizer
+    from virtex_tpu.data.datasets.classification import (
+        TokenClassificationDataset,
+    )
+    from virtex_tpu.data.datasets.masked_lm import MaskedLmDataset
+    from virtex_tpu.data.loader import item_rng
+
+    root = make_fake_coco(str(tmp_path / "coco"), n_images=6)
+    tok = make_tokenizer(tmp_path)
+    cls = MaskedLmDataset if dataset_name == "masked_lm" \
+        else TokenClassificationDataset
+    ds = cls(root, "train", tok, max_caption_length=12, use_native=True,
+             crop_size=48)
+    assert ds.supports_batch_fetch
+    indices = [5, 0, 2, 4]
+    got = ds.get_batch(indices, [item_rng(3, 1, i) for i in indices])
+    for item, i in zip(got, indices):
+        want = ds.__getitem__(i, rng=item_rng(3, 1, i))
+        for k in want:
+            np.testing.assert_array_equal(item[k], want[k], err_msg=k)

@@ -39,6 +39,24 @@ def make_native_pipeline(use_native, split: str, crop_size: int,
     return None
 
 
+def batch_fetch_supported(native_pipeline) -> bool:
+    return native_pipeline is not None and hasattr(native_pipeline, "batch")
+
+
+def load_image_caption_batch(dset, indices, rngs, native_pipeline):
+    """Whole-batch counterpart of :func:`load_image_caption`'s native
+    branch: ONE OpenMP native call for all pixel work. Each item's RNG
+    draw order (caption choice → augmentation params) matches N single
+    calls exactly. → list of (image_id, image, caption)."""
+    raws = [dset.raw(i) for i in indices]
+    captions = [raw["captions"][rng.randint(len(raw["captions"]))]
+                for raw, rng in zip(raws, rngs)]
+    images, captions = native_pipeline.batch(
+        [raw["jpeg"] for raw in raws], captions, rngs)
+    return [(raw["image_id"], image, caption)
+            for raw, image, caption in zip(raws, images, captions)]
+
+
 def load_image_caption(dset, idx: int, rng, image_transform,
                        native_pipeline=None):
     """→ (image_id, augmented image HWC float32, transformed caption)."""

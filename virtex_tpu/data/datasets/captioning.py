@@ -61,9 +61,9 @@ class CaptioningDataset:
         self.sos_id = tokenizer.token_to_id("[SOS]")
         self.eos_id = tokenizer.token_to_id("[EOS]")
         # loader hint: whole-batch fetch pays off only on the OpenMP path
-        self.supports_batch_fetch = (
-            self.native_pipeline is not None
-            and hasattr(self.native_pipeline, "batch"))
+        from virtex_tpu.data.datasets._common import batch_fetch_supported
+        self.supports_batch_fetch = batch_fetch_supported(
+            self.native_pipeline)
 
     def __len__(self) -> int:
         return len(self._dset)
@@ -95,21 +95,16 @@ class CaptioningDataset:
         """Whole-batch fetch: the native pipeline's OpenMP batch call does
         all pixel work in one C++ pass (the loader prefers this hook when
         present). RNG draws match N single ``__getitem__`` calls exactly."""
-        if self.native_pipeline is None or not hasattr(
-                self.native_pipeline, "batch"):
+        from virtex_tpu.data.datasets._common import load_image_caption_batch
+        if not self.supports_batch_fetch:
             return [self.__getitem__(i, rng=r)
                     for i, r in zip(indices, rngs)]
-        raws = [self._dset.raw(i) for i in indices]
-        # caption choice FIRST, like load_image_caption's native branch
-        captions = [r["captions"][rng.randint(len(r["captions"]))]
-                    for r, rng in zip(raws, rngs)]
-        images, captions = self.native_pipeline.batch(
-            [r["jpeg"] for r in raws], captions, rngs)
         items = []
-        for raw, image, caption in zip(raws, images, captions):
+        for image_id, image, caption in load_image_caption_batch(
+                self._dset, indices, rngs, self.native_pipeline):
             tokens = [self.sos_id, *self.tokenizer.encode(caption),
                       self.eos_id][: self.max_caption_length]
-            items.append(self._item(raw["image_id"], image, tokens))
+            items.append(self._item(image_id, image, tokens))
         return items
 
     def collate_fn(self, data: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:

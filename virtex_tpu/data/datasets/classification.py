@@ -49,9 +49,21 @@ class TokenClassificationDataset:
         self.padding_idx = tokenizer.token_to_id("<unk>")
         self.sos_id = tokenizer.token_to_id("[SOS]")
         self.eos_id = tokenizer.token_to_id("[EOS]")
+        from virtex_tpu.data.datasets._common import batch_fetch_supported
+        self.supports_batch_fetch = batch_fetch_supported(
+            self.native_pipeline)
 
     def __len__(self) -> int:
         return len(self._dset)
+
+    def _pack(self, image_id, image, caption) -> Dict[str, np.ndarray]:
+        tokens = [self.sos_id, *self.tokenizer.encode(caption), self.eos_id]
+        tokens = tokens[: self.max_caption_length]
+        return {
+            "image_id": np.asarray(image_id, dtype=np.int32),
+            "image": image_array(image),
+            "labels": np.asarray(tokens, dtype=np.int32),
+        }
 
     def __getitem__(
         self, idx: int, rng: Optional[np.random.RandomState] = None
@@ -60,14 +72,17 @@ class TokenClassificationDataset:
         from virtex_tpu.data.datasets._common import load_image_caption
         image_id, image, caption = load_image_caption(
             self._dset, idx, rng, self.image_transform, self.native_pipeline)
+        return self._pack(image_id, image, caption)
 
-        tokens = [self.sos_id, *self.tokenizer.encode(caption), self.eos_id]
-        tokens = tokens[: self.max_caption_length]
-        return {
-            "image_id": np.asarray(image_id, dtype=np.int32),
-            "image": image_array(image),
-            "labels": np.asarray(tokens, dtype=np.int32),
-        }
+    def get_batch(self, indices, rngs) -> List[Dict[str, np.ndarray]]:
+        """Whole-batch fetch through the OpenMP native pipeline."""
+        from virtex_tpu.data.datasets._common import load_image_caption_batch
+        if not self.supports_batch_fetch:
+            return [self.__getitem__(i, rng=r)
+                    for i, r in zip(indices, rngs)]
+        return [self._pack(image_id, image, caption)
+                for image_id, image, caption in load_image_caption_batch(
+                    self._dset, indices, rngs, self.native_pipeline)]
 
     def collate_fn(self, data: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
         return {

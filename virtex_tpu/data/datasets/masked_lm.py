@@ -55,6 +55,9 @@ class MaskedLmDataset:
         self._mask_proportion = mask_proportion
         self._mask_prob = mask_probability
         self._repl_prob = replace_probability
+        from virtex_tpu.data.datasets._common import batch_fetch_supported
+        self.supports_batch_fetch = batch_fetch_supported(
+            self.native_pipeline)
 
     def __len__(self) -> int:
         return len(self._dset)
@@ -66,7 +69,24 @@ class MaskedLmDataset:
         from virtex_tpu.data.datasets._common import load_image_caption
         image_id, image, caption = load_image_caption(
             self._dset, idx, rng, self.image_transform, self.native_pipeline)
+        return self._mask_and_pack(image_id, image, caption, rng)
 
+    def get_batch(self, indices, rngs) -> List[Dict[str, np.ndarray]]:
+        """Whole-batch fetch through the OpenMP native pipeline; masking
+        RNG draws follow each item's pipeline draws, exactly like N single
+        ``__getitem__`` calls."""
+        from virtex_tpu.data.datasets._common import load_image_caption_batch
+        if not self.supports_batch_fetch:
+            return [self.__getitem__(i, rng=r)
+                    for i, r in zip(indices, rngs)]
+        return [self._mask_and_pack(image_id, image, caption, rng)
+                for (image_id, image, caption), rng in zip(
+                    load_image_caption_batch(self._dset, indices, rngs,
+                                             self.native_pipeline), rngs)]
+
+    def _mask_and_pack(
+        self, image_id, image, caption, rng
+    ) -> Dict[str, np.ndarray]:
         tokens = [self.sos_id, *self.tokenizer.encode(caption), self.eos_id]
         tokens = tokens[: self.max_caption_length]
 
