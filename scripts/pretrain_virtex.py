@@ -49,19 +49,33 @@ logger = logging.getLogger("virtex_tpu")
 _TOKENIZER_CACHE = {}
 
 
+def _local_rows(x, k: int):
+    """First k rows this PROCESS can address (multi-host arrays are only
+    partially addressable; a cross-host gather just for logging is waste)."""
+    import numpy as np
+    if hasattr(x, "addressable_shards") and not x.is_fully_addressable:
+        return np.asarray(x.addressable_shards[0].data)[:k]
+    return np.asarray(jax.device_get(x))[:k]
+
+
 def log_val_predictions(model, state, batch, _C, k: int = 3) -> None:
     """Log a few argmax val predictions vs ground truth (the reference's
-    log_predictions helper, ``captioning.py:215-231``)."""
-    try:
-        import numpy as np
+    log_predictions helper, ``captioning.py:215-231``).
 
+    MUST be entered by ALL processes (the model.apply below is a collective
+    over the sharded batch — a master-only call deadlocks multi-host runs);
+    only the master decodes and logs, using its locally-addressable rows.
+    """
+    try:
         out = model.apply({"params": state.params,
                            "batch_stats": state.batch_stats},
                           batch, train=False)
-        preds = np.asarray(jax.device_get(out.get("predictions")))[:k]
+        if not dist.is_master_process():
+            return
         if "caption_tokens" not in batch:
             return
-        gts = np.asarray(jax.device_get(batch["caption_tokens"]))[:k]
+        preds = _local_rows(out.get("predictions"), k)
+        gts = _local_rows(batch["caption_tokens"], k)
         tok = _TOKENIZER_CACHE.setdefault(
             _C.DATA.TOKENIZER_MODEL, TokenizerFactory.from_config(_C))
         specials = {_C.DATA.UNK_INDEX, _C.DATA.SOS_INDEX, _C.DATA.EOS_INDEX}
@@ -192,9 +206,9 @@ def main(_A) -> None:
                     sharded_val = shard_batch(val_batch, mesh)
                     m = eval_step(state, sharded_val)
                     val_metrics.append(jax.device_get(m))
-                    if not logged_preds and dist.is_master_process():
-                        # reference log_predictions (captioning.py:215-231):
-                        # show a few argmax predictions next to ground truth
+                    if not logged_preds:
+                        # reference log_predictions (captioning.py:215-231);
+                        # collective — every process enters, master logs
                         log_val_predictions(model, state, sharded_val, _C)
                         logged_preds = True
                 metric = None
