@@ -76,7 +76,8 @@ def main(_A) -> None:
                     "batch_stats": variables["batch_stats"]}
         variables = load_model_variables(_A.checkpoint_path, template)
 
-    caption_fn = make_caption_fn(model, decoder, sos_index=_C.DATA.SOS_INDEX)
+    caption_fn = make_caption_fn(model, decoder, sos_index=_C.DATA.SOS_INDEX,
+                                 prefix_mode=_C.MODEL.DECODER.PREFIX_MODE)
 
     predictions = []
     seen_ids = set()

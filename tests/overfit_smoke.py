@@ -70,7 +70,10 @@ with mesh:
     # decode with the trained weights
     decoder = CaptionDecoderFactory.from_config(_C)
     vars_eval = {"params": state.params, "batch_stats": state.batch_stats}
-    fn = make_caption_fn(model, decoder, sos_index=1)
+    # train-consistent prefixes for a model trained HERE (the default
+    # "reference" mode reproduces the reference's train/inference mismatch
+    # — prefixes without SOS — and memorizes only ~2/8 on this probe)
+    fn = make_caption_fn(model, decoder, sos_index=1, prefix_mode="sos")
     preds = fn(vars_eval, sb["image"])
     caps = decode_predictions(preds, tok, eos_index=2)
 gt = [tok.decode([int(t) for t in row if t not in (0, 1, 2)])

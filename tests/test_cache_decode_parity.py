@@ -14,7 +14,11 @@ from virtex_tpu.utils.beam_search import AutoRegressiveBeamSearch
 VOCAB, MAXLEN, BEAMS = 40, 7, 4
 
 
-def test_kv_cache_beam_equals_full_prefix_beam():
+import pytest
+
+
+@pytest.mark.parametrize("prefix_mode", ["reference", "sos"])
+def test_kv_cache_beam_equals_full_prefix_beam(prefix_mode):
     model = ForwardCaptioningModel(
         visual=ResNetVisualBackbone("resnet18", dtype=jnp.float32),
         textual=TransformerTextualHead(
@@ -35,7 +39,8 @@ def test_kv_cache_beam_equals_full_prefix_beam():
     decoder = AutoRegressiveBeamSearch(eos_index=2, max_steps=MAXLEN,
                                        beam_size=BEAMS)
     # fast path: compiled KV cache
-    fast = make_caption_fn(model, decoder, sos_index=1)
+    fast = make_caption_fn(model, decoder, sos_index=1,
+                           prefix_mode=prefix_mode)
     fast_preds = np.asarray(fast(variables, images))
 
     # reference-style path: full-prefix re-forward each step, same beam algo
@@ -48,12 +53,20 @@ def test_kv_cache_beam_equals_full_prefix_beam():
 
     def slow_step(last_tokens, position, state):
         buf = state["buf"]
-        # Reference prefix layout (captioning.py:191-213): step 0 feeds just
-        # [SOS]; later prefixes are the predicted tokens ONLY, re-based at
-        # position 0 (beam_search.py:86-89 — start symbols are implicit).
-        write_pos = jnp.maximum(position - 1, 0)
+        if prefix_mode == "reference":
+            # Reference prefix layout (captioning.py:191-213): step 0 feeds
+            # just [SOS]; later prefixes are the predicted tokens ONLY,
+            # re-based at position 0 (beam_search.py:86-89 — start symbols
+            # are implicit).
+            write_pos = jnp.maximum(position - 1, 0)
+            length = jnp.maximum(position, 1)
+        else:
+            # train-consistent: [SOS, w1, ..., wt] with SOS at position 0
+            write_pos = position
+            length = position + 1
+        # position 0 writes SOS (a no-op in "sos" mode where the buffer is
+        # pre-seeded); later steps write the newest prediction.
         buf = buf.at[:, write_pos].set(last_tokens)
-        length = jnp.maximum(position, 1)
         lengths = jnp.full((B * BEAMS,), length, jnp.int32)
         logits = model.textual.apply(
             {"params": variables["params"]["textual"]},
@@ -68,3 +81,37 @@ def test_kv_cache_beam_equals_full_prefix_beam():
         jnp.full((B,), 1, jnp.int32), slow_step, state)
 
     np.testing.assert_array_equal(fast_preds, np.asarray(slow_preds))
+
+
+def test_caption_fn_nucleus_path():
+    """make_caption_fn with the nucleus decoder: compiled KV-cached
+    sampling runs end-to-end, keeps SOS in the prefix (position offsets
+    unshifted), emits valid fixed-shape token ids, and is deterministic
+    given the rng."""
+    from virtex_tpu.utils.nucleus_sampling import AutoRegressiveNucleusSampling
+
+    model = ForwardCaptioningModel(
+        visual=ResNetVisualBackbone("resnet18", dtype=jnp.float32),
+        textual=TransformerTextualHead(
+            visual_feature_size=512, vocab_size=VOCAB, hidden_size=32,
+            num_layers=1, attention_heads=4, feedforward_size=64,
+            dropout=0.0, max_caption_length=MAXLEN, dtype=jnp.float32))
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    tokens = rng.randint(4, VOCAB, (2, MAXLEN)).astype(np.int32)
+    tokens[:, 0] = 1
+    batch = {"image": images, "caption_tokens": jnp.asarray(tokens),
+             "noitpac_tokens": jnp.asarray(tokens[:, ::-1].copy()),
+             "caption_lengths": jnp.full((2,), MAXLEN, jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    decoder = AutoRegressiveNucleusSampling(eos_index=2, max_steps=MAXLEN,
+                                            nucleus_size=0.9)
+    fn = make_caption_fn(model, decoder, sos_index=1)
+    p1 = np.asarray(fn(variables, images, jax.random.PRNGKey(3)))
+    p2 = np.asarray(fn(variables, images, jax.random.PRNGKey(3)))
+    assert p1.shape == (2, MAXLEN)
+    assert ((p1 >= 0) & (p1 < VOCAB)).all()
+    np.testing.assert_array_equal(p1, p2)  # rng-deterministic

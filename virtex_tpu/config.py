@@ -282,6 +282,12 @@ def _default_config() -> CfgNode:
     _C.MODEL.DECODER.BEAM_SIZE = 5
     _C.MODEL.DECODER.NUCLEUS_SIZE = 0.9
     _C.MODEL.DECODER.MAX_DECODING_STEPS = 30
+    # Beam-search prefix layout: "reference" reproduces the reference's
+    # published behavior (prefixes exclude SOS, re-based at position 0 —
+    # a train/inference mismatch it ships); "sos" is the train-consistent
+    # variant that decodes better for models trained in this framework.
+    # See engine/captioner.make_caption_fn.
+    _C.MODEL.DECODER.PREFIX_MODE = "reference"
 
     # ----------------------------------------------------------------- OPTIM
     _C.OPTIM = CfgNode()

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from virtex_tpu.utils.beam_search import AutoRegressiveBeamSearch
 
 
-def make_caption_fn(model, decoder, sos_index: int = 1):
+def make_caption_fn(model, decoder, sos_index: int = 1,
+                    prefix_mode: str = "reference"):
     r"""Build a jittable ``(variables, images[, rng]) -> predictions`` fn.
 
     ``model`` must expose ``encode_visual`` / ``init_decode`` /
@@ -27,18 +28,31 @@ def make_caption_fn(model, decoder, sos_index: int = 1):
     :class:`virtex_tpu.models.captioning.CaptioningModel`).
     Returns token id arrays (B, max_steps); the SOS prefix is excluded
     (reference contract, ``beam_search.py:232-238``).
+
+    ``prefix_mode`` (beam search only; config ``MODEL.DECODER.PREFIX_MODE``):
+
+    - ``"reference"`` (default, the parity contract): prefixes EXCLUDE the
+      start token — the reference re-runs only the predicted tokens
+      (``beam_search.py:86-89`` "start symbols … are implicit",
+      ``captioning.py:191-213``), so generated token i sits at position
+      i−1 and the SOS cache slot is overwritten by the first prediction.
+      This is a train/inference mismatch the reference ships (training
+      conditions on [SOS, w₁, …]); reproduce it to match published
+      checkpoints' captions exactly (test_reference_parity).
+    - ``"sos"`` (train-consistent): keep SOS at position 0 like training —
+      measurably better captions for models trained in THIS framework
+      (e.g. the overfit smoke memorizes 8/8 vs 2/8 under "reference").
+
+    Nucleus sampling always keeps SOS in the prefix — the reference does
+    too (``nucleus_sampling.py:119`` strips it only at the end).
     """
     is_beam = isinstance(decoder, AutoRegressiveBeamSearch)
+    if prefix_mode not in ("reference", "sos"):
+        raise ValueError(f"unknown prefix_mode {prefix_mode!r}")
+    rebase = is_beam and prefix_mode == "reference"
 
     def step_fn(variables, tokens, position, caches):
-        if is_beam:
-            # Reference beam-search prefixes EXCLUDE the start token
-            # (beam_search.py:86-89 "start symbols … are implicit";
-            # captioning.py:191-213 re-runs only the predicted tokens), so
-            # generated token i sits at position i−1 and the SOS cache slot
-            # is overwritten by the first prediction. Nucleus sampling keeps
-            # SOS in the prefix (nucleus_sampling.py:119 strips it only at
-            # the end), so its positions are used as-is.
+        if rebase:
             position = jnp.maximum(position - 1, 0)
         logits, caches = model.apply(variables, tokens, position, caches,
                                      method="decode_step")
