@@ -14,6 +14,7 @@ reference-per-chip, i.e. vs_baseline ≥ 3.0.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -36,10 +37,18 @@ def main():
     n_chips = len(jax.devices())
     mesh = create_mesh(data=n_chips, model=1)
     _C = _flagship_config()
+    # Experiment hook (bench/xla_flags_sweep.py, A/B runs): space-separated
+    # dotted-key/value pairs, e.g. "MODEL.VISUAL.STEM_S2D True".
+    overrides = os.environ.get("VIRTEX_BENCH_OVERRIDES", "").split()
+    if overrides:
+        _C.defrost()
+        _C.merge_from_list(overrides)
+        _C.freeze()
     model = PretrainingModelFactory.from_config(_C)
 
-    # 128/chip probed best on v5e (1743 img/s vs 1569 @ 64; 256 plateaus).
-    batch_size = 128 * n_chips
+    # 128/chip probed best on v5e (1743 img/s vs 1569 @ 64; 256 plateaus;
+    # 96/160/192 re-probed round 2 — see bench/xla_flags_sweep.results.jsonl).
+    batch_size = int(os.environ.get("VIRTEX_BENCH_BATCH", 128)) * n_chips
     batch = _synthetic_batch(batch_size, _C.DATA.IMAGE_CROP_SIZE,
                              _C.DATA.MAX_CAPTION_LENGTH)
 

@@ -186,3 +186,50 @@ def test_detectron2_export_naming():
     # resnet18 layer2 first block has a shortcut
     assert "res3.0.shortcut.weight" in sd
     assert "res3.0.shortcut.norm.running_var" in sd
+
+
+def test_space_to_depth_stem_equivalence():
+    """SpaceToDepthStem is a weight-equivalent layout of the stride-2 stem
+    conv: same param tree, same outputs, same gradients (modules/resnet.py).
+    """
+    std = make_resnet("resnet18", dtype=jnp.float32, stem_s2d=False)
+    s2d = make_resnet("resnet18", dtype=jnp.float32, stem_s2d=True)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3), jnp.float32)
+    variables = std.init(jax.random.PRNGKey(0), x, train=False)
+    v2 = s2d.init(jax.random.PRNGKey(0), x, train=False)
+    # Identical parameter trees (names, shapes, and init values).
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: a.shape == b.shape and np.allclose(a, b),
+        variables["params"], v2["params"]))
+    out_std = std.apply(variables, x, train=False)
+    out_s2d = s2d.apply(variables, x, train=False)
+    np.testing.assert_allclose(out_s2d, out_std, rtol=1e-4, atol=1e-4)
+
+    def loss_fn(model):
+        def fn(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+        return fn
+
+    g_std = jax.grad(loss_fn(std))(variables["params"])
+    g_s2d = jax.grad(loss_fn(s2d))(variables["params"])
+    k_std = g_std["conv1"]["kernel"]
+    k_s2d = g_s2d["conv1"]["kernel"]
+    assert k_std.shape == k_s2d.shape == (7, 7, 3, 64)
+    # Accumulation-order noise is amplified by train-mode BN's variance
+    # gradients; the stem alone agrees to ~3e-7 relative (see the isolated
+    # check in the module docstring derivation). Scale-relative bound here.
+    scale = float(jnp.abs(k_std).max())
+    assert float(jnp.abs(k_s2d - k_std).max()) < 2e-3 * scale
+
+
+def test_space_to_depth_stem_odd_input_falls_back():
+    """Odd spatial sizes cannot space-to-depth; the standard conv runs and
+    shapes still match the stride-32 grid contract."""
+    s2d = make_resnet("resnet18", dtype=jnp.float32, stem_s2d=True)
+    x = jnp.zeros((1, 65, 65, 3))
+    variables = s2d.init(jax.random.PRNGKey(0), x, train=False)
+    out = s2d.apply(variables, x, train=False)
+    assert out.shape[0] == 1 and out.shape[-1] == 512

@@ -267,11 +267,16 @@ def _default_config() -> CfgNode:
     _C.MODEL.VISUAL.FEATURE_SIZE = 2048
     _C.MODEL.VISUAL.PRETRAINED = False
     _C.MODEL.VISUAL.FROZEN = False
-    # TPU knob: training-time BatchNorm statistics row stride — mean/var are
-    # estimated from every Nth spatial row (modules/normalization.py),
-    # cutting the BN-stat HBM reduction (36.5% of the step at stride 1) by
-    # ~N x. 1 = exact full-tensor statistics.
+    # TPU knob: training-time BatchNorm statistics sample stride
+    # (modules/normalization.py). 1 = exact full-tensor statistics (the
+    # default; measured fastest — docs/design.md round-2 A/B). N > 1
+    # estimates statistics from the leading B/N images, matching the
+    # reference's per-GPU BN sample size for training-dynamics parity.
     _C.MODEL.VISUAL.BN_STAT_STRIDE = 1
+    # TPU knob: weight-equivalent space-to-depth stem conv layout
+    # (modules/resnet.py SpaceToDepthStem). Exact same math and param tree;
+    # only the XLA kernel layout changes.
+    _C.MODEL.VISUAL.STEM_S2D = False
 
     _C.MODEL.TEXTUAL = CfgNode()
     _C.MODEL.TEXTUAL.NAME = "transdec_postnorm::L1_H2048_A32_F8192"

@@ -212,7 +212,8 @@ class VisualBackboneFactory(Factory):
         dtype = jnp.bfloat16 if _C.DTYPE == "bfloat16" else jnp.float32
         return cls.create(_C.MODEL.VISUAL.NAME,
                           frozen=_C.MODEL.VISUAL.FROZEN, dtype=dtype,
-                          bn_stat_stride=_C.MODEL.VISUAL.BN_STAT_STRIDE)
+                          bn_stat_stride=_C.MODEL.VISUAL.BN_STAT_STRIDE,
+                          stem_s2d=_C.MODEL.VISUAL.STEM_S2D)
 
 
 class TextualHeadFactory(Factory):

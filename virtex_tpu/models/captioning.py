@@ -17,14 +17,54 @@ cache (the reference re-runs the full prefix, ``captioning.py:191-213``).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from virtex_tpu.modules.textual_heads import TransformerTextualHead
 from virtex_tpu.modules.visual_backbones import ResNetVisualBackbone
+
+
+def _ce_forward(logits: jnp.ndarray, targets: jnp.ndarray,
+                ignore_index: int):
+    # nll = logsumexp − target logit: never materialises the (B, T, V)
+    # log-prob tensor (log_softmax would write+reread ~1.5 GB in f32 at the
+    # flagship 10k vocab; the reductions here fuse into the logits read).
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+    tgt = jnp.take_along_axis(logits, targets[..., None],
+                              axis=-1)[..., 0].astype(jnp.float32)
+    mask = (targets != ignore_index).astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    loss = jnp.sum((lse - tgt) * mask) / denom
+    return loss, (lse, mask, denom)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _token_ce(logits, targets, ignore_index):
+    loss, _ = _ce_forward(logits, targets, ignore_index)
+    return loss
+
+
+def _ce_fwd(logits, targets, ignore_index):
+    loss, (lse, mask, denom) = _ce_forward(logits, targets, ignore_index)
+    return loss, (logits, targets, lse, mask, denom)
+
+
+def _ce_bwd(ignore_index, res, g):
+    logits, targets, lse, mask, denom = res
+    scale = (g * mask / denom)[..., None]
+    p = jnp.exp(logits.astype(jnp.float32) - lse[..., None])
+    onehot = (jax.lax.broadcasted_iota(
+        jnp.int32, logits.shape, logits.ndim - 1) == targets[..., None])
+    d_logits = ((p - onehot) * scale).astype(logits.dtype)
+    return (d_logits, np.zeros(targets.shape, dtype=jax.dtypes.float0))
+
+
+_token_ce.defvjp(_ce_fwd, _ce_bwd)
 
 
 def token_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
@@ -33,16 +73,15 @@ def token_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
 
     Matches torch ``F.cross_entropy(…, ignore_index=padding_idx)`` reduction
     semantics (mean over counted tokens only).
+
+    Custom VJP: the hand-written backward emits ``(softmax − onehot) ·
+    scale`` directly in the logits dtype, guaranteeing no f32 (B, T, V)
+    materialisation regardless of the backend's fusion heuristics. Measured
+    A/B on v5e (flagship shapes): neutral vs autodiff — current XLA:TPU
+    already fuses the f32 intermediates away — so the value here is the
+    by-construction dtype guarantee across backends/XLA versions.
     """
-    logits = logits.astype(jnp.float32)
-    # nll = logsumexp − target logit: never materialises the (B, T, V)
-    # log-prob tensor (log_softmax would write+reread ~1.5 GB in f32 at the
-    # flagship 10k vocab; the reductions here fuse into the logits read)
-    lse = jax.nn.logsumexp(logits, axis=-1)
-    tgt = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
-    nll = lse - tgt
-    mask = (targets != ignore_index).astype(jnp.float32)
-    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return _token_ce(logits, targets, int(ignore_index))
 
 
 class CaptioningModel(nn.Module):

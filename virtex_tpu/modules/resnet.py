@@ -100,6 +100,46 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class SpaceToDepthStem(nn.Module):
+    r"""Weight-equivalent space-to-depth reparametrisation of the ResNet stem
+    conv (7x7, stride 2, pad 3) — the MLPerf-era TPU trick: a stride-2 conv
+    on a 3-channel image underfills the MXU's 128-wide contraction lanes;
+    rearranging 2x2 pixel blocks into channels turns it into a stride-1
+    4x4 conv over 4x the channels with identical outputs.
+
+    Derivation: pad the 7x7 kernel to 8x8 with a zero row/col at the
+    top/left (taps at offsets -4..+3), pad the image by 4 on every side,
+    space-to-depth both by 2, run the 4x4 conv VALID at stride 1, and drop
+    the one extra trailing output row/col. Every output pixel sums exactly
+    the same products as the original conv.
+
+    The parameter is the ORIGINAL (7, 7, C, F) HWIO kernel under the same
+    ``conv1`` name, so checkpoints, the torch converter and the Detectron2
+    export contract are untouched by this knob.
+    """
+    features: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, c, self.features), jnp.float32)
+        k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k = k.reshape(4, 2, 4, 2, c, self.features)
+        k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        x = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+        b, h, w, _ = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k.astype(self.dtype),
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y[:, :-1, :-1, :]
+
+
 class ResNet(nn.Module):
     r"""ResNet trunk emitting the layer4 spatial grid (B, H/32, W/32, C_out)
     — the reference's (B, 2048, 7, 7) in NHWC (``visual_backbones.py:68-74``).
@@ -121,6 +161,9 @@ class ResNet(nn.Module):
     # >1 estimates mean/var from every Nth spatial row, cutting the BN-stat
     # HBM reduction passes by that factor. 1 = exact full-tensor BN.
     bn_stat_stride: int = 1
+    # Space-to-depth stem (see SpaceToDepthStem): weight-equivalent MXU
+    # layout for the stride-2 stem conv. Same param tree either way.
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -130,8 +173,13 @@ class ResNet(nn.Module):
                        stat_stride=self.bn_stat_stride,
                        dtype=self.dtype, param_dtype=jnp.float32)
         x = x.astype(self.dtype)
-        x = conv(self.num_filters, (7, 7), strides=(2, 2),
-                 padding=[(3, 3), (3, 3)], use_bias=False, name="conv1")(x)
+        if self.stem_s2d and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x = SpaceToDepthStem(features=self.num_filters,
+                                 dtype=self.dtype, name="conv1")(x)
+        else:
+            x = conv(self.num_filters, (7, 7), strides=(2, 2),
+                     padding=[(3, 3), (3, 3)], use_bias=False,
+                     name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -173,9 +221,9 @@ def feature_size(name: str) -> int:
 
 
 def make_resnet(name: str, dtype: jnp.dtype = jnp.bfloat16,
-                bn_stat_stride: int = 1) -> ResNet:
+                bn_stat_stride: int = 1, stem_s2d: bool = False) -> ResNet:
     if name not in _RESNET_DEFS:
         raise ValueError(
             f"Unknown resnet {name!r}; supported: {sorted(_RESNET_DEFS)}")
     return ResNet(dtype=dtype, bn_stat_stride=bn_stat_stride,
-                  **_RESNET_DEFS[name])
+                  stem_s2d=stem_s2d, **_RESNET_DEFS[name])
