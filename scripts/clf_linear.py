@@ -23,14 +23,13 @@ from virtex_tpu.data.loader import DataLoader
 from virtex_tpu.engine import (
     CheckpointManager,
     TrainState,
+    apply_backbone_weight_init,
     initialize_model,
-    load_model_variables,
     make_eval_step,
     make_train_step,
 )
 from virtex_tpu.factories import (
     DownstreamDatasetFactory,
-    PretrainingModelFactory,
     VisualBackboneFactory,
 )
 from virtex_tpu.models.downstream import LinearClassifierModel
@@ -47,8 +46,11 @@ NUM_CLASSES = {"imagenet": 1000, "inaturalist": 8142}
 
 def main(_A) -> None:
     dist.initialize(_A.coordinator_address, _A.num_processes, _A.process_id)
-    _DOWNC = Config(_A.down_config, _A.config_override)
-    _C = Config(_A.config) if _A.config else None
+    # Reference keeps two override channels: --config-override patches
+    # the pretrain config, --down-config-override the downstream one
+    # (clf_linear.py:26-37).
+    _DOWNC = Config(_A.down_config, _A.down_config_override)
+    _C = Config(_A.config, _A.config_override) if _A.config else None
     common_setup(_DOWNC, _A, job_type="clf_linear")
 
     dataset_name = ("imagenet" if "imagenet" in _DOWNC.DATA.ROOT
@@ -80,44 +82,9 @@ def main(_A) -> None:
             _DOWNC.RANDOM_SEED), mesh)
 
     # ---- weight init (reference clf_linear.py:130-142) -------------------
-    if _A.weight_init == "virtex" and _A.checkpoint_path:
-        pretrain_model = PretrainingModelFactory.from_config(_C)
-        del pretrain_model
-        template = {"params": variables["params"],
-                    "batch_stats": variables["batch_stats"]}
-        # restore only the visual subtree from the pretraining checkpoint
-        full = load_model_variables(_A.checkpoint_path, template)
-        variables["params"]["visual"] = full["params"]["visual"]
-        variables["batch_stats"]["visual"] = full["batch_stats"]["visual"]
-        logger.info(f"Loaded visual backbone from {_A.checkpoint_path}")
-    elif _A.weight_init == "torchvision" and _A.checkpoint_path:
-        # torch training-script checkpoint ({"state_dict": ...} .pth) —
-        # reference loads it with strict=False into the torchvision cnn
-        # (clf_linear.py:137-141); here it converts into the flax tree.
-        from virtex_tpu.utils.checkpoint_convert import (
-            convert_resnet,
-            load_torch_checkpoint,
-        )
-        params, stats = convert_resnet(load_torch_checkpoint(
-            _A.checkpoint_path))
-        variables["params"]["visual"]["cnn"] = params
-        variables["batch_stats"]["visual"]["cnn"] = stats
-        logger.info(f"Converted torch backbone from {_A.checkpoint_path}")
-    elif _A.weight_init == "imagenet":
-        # torchvision model-zoo weights (needs torchvision + cached weights)
-        import torchvision
-
-        from virtex_tpu.utils.checkpoint_convert import convert_resnet
-        arch = backbone_cfg.MODEL.VISUAL.NAME.split("::")[-1]
-        tv_model = getattr(torchvision.models, arch)(pretrained=True)
-        params, stats = convert_resnet(
-            {k: v.numpy() for k, v in tv_model.state_dict().items()})
-        variables["params"]["visual"]["cnn"] = params
-        variables["batch_stats"]["visual"]["cnn"] = stats
-        logger.info(f"Loaded imagenet {arch} weights from torchvision")
-    elif _A.weight_init != "random":
-        logger.warning(f"weight-init {_A.weight_init}: no checkpoint given, "
-                       "training from random init")
+    apply_backbone_weight_init(
+        variables, _A.weight_init, _A.checkpoint_path,
+        arch=backbone_cfg.MODEL.VISUAL.NAME.split("::")[-1])
 
     # Downstream uses ONE learning rate: the reference strips the "visual."
     # prefix by training `model.visual.cnn` directly, so its "cnn"-name dual
@@ -218,6 +185,9 @@ if __name__ == "__main__":
                                        "ImageNet or iNaturalist.")
     parser.add_argument("--down-config", metavar="FILE", required=True,
                         help="Downstream config yaml.")
+    parser.add_argument("--down-config-override", nargs="*", default=[],
+                        help="Key-value pairs patching the downstream "
+                             "config (reference clf_linear.py:34-37).")
     parser.add_argument(
         "--weight-init",
         choices=["random", "imagenet", "torchvision", "virtex"],

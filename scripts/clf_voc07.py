@@ -20,7 +20,7 @@ import numpy as np
 
 from virtex_tpu.config import Config
 from virtex_tpu.data.loader import DataLoader
-from virtex_tpu.engine import initialize_model, load_model_variables
+from virtex_tpu.engine import apply_backbone_weight_init, initialize_model
 from virtex_tpu.factories import (
     DownstreamDatasetFactory,
     VisualBackboneFactory,
@@ -86,7 +86,8 @@ def extract_features(model, variables, dataset, batch_size, workers):
 
 def main(_A) -> None:
     _C = Config(_A.config, _A.config_override)
-    _DOWNC = Config(_A.down_config) if _A.down_config else _C
+    _DOWNC = (Config(_A.down_config, _A.down_config_override)
+              if _A.down_config else _C)
     common_setup(_DOWNC, _A, job_type="clf_voc07")
 
     visual = VisualBackboneFactory.create(_C.MODEL.VISUAL.NAME, frozen=True)
@@ -98,12 +99,11 @@ def main(_A) -> None:
     sample = {"image": jax.numpy.zeros((1, 224, 224, 3)),
               "label": jax.numpy.zeros((1,), jax.numpy.int32)}
     variables = initialize_model(model, sample, jax.random.PRNGKey(0))
-    if _A.checkpoint_path:
-        template = {"params": variables["params"],
-                    "batch_stats": variables["batch_stats"]}
-        loaded = load_model_variables(_A.checkpoint_path, template)
-        variables["params"]["visual"] = loaded["params"]["visual"]
-        variables["batch_stats"]["visual"] = loaded["batch_stats"]["visual"]
+    # Four init modes like the reference (clf_voc07.py:40-47 shares
+    # clf_linear's flag); "virtex" needs --checkpoint-path.
+    apply_backbone_weight_init(
+        variables, _A.weight_init, _A.checkpoint_path,
+        arch=_C.MODEL.VISUAL.NAME.split("::")[-1])
 
     logger.info("Extracting features (train)…")
     feats_train, tgts_train = extract_features(
@@ -132,5 +132,13 @@ def main(_A) -> None:
 if __name__ == "__main__":
     parser = common_parser(description="VOC07 SVM evaluation.")
     parser.add_argument("--down-config", default=None)
+    parser.add_argument("--down-config-override", nargs="*", default=[],
+                        help="Key-value pairs patching the downstream "
+                             "config (reference clf_voc07.py:31-35).")
+    parser.add_argument(
+        "--weight-init",
+        choices=["random", "imagenet", "torchvision", "virtex"],
+        default="virtex",
+        help="Backbone init mode (reference clf_voc07.py:40-47).")
     parser.add_argument("--checkpoint-path", default=None)
     main(parser.parse_args())

@@ -114,7 +114,10 @@ def main(_A) -> None:
 
 if __name__ == "__main__":
     parser = common_parser(description="Caption images with a VirTex model.")
-    parser.add_argument("--data-root", default=None,
+    # "--images" is the reference's primary spelling, "--data-root" its
+    # alias (eval_captioning.py:23-27); both land on _A.data_root.
+    parser.add_argument("--images", "--data-root", dest="data_root",
+                        default=None,
                         help="Image directory; defaults to COCO val2017.")
     parser.add_argument("--checkpoint-path", default=None)
     parser.add_argument("--batch-size", type=int, default=32)

@@ -110,3 +110,56 @@ def test_checkpoint_prune_and_best(tmp_path, trained):
     restored, it = load_checkpoint(
         str(tmp_path / "ck2" / "checkpoint_best"), state)
     assert it in (1, 2, 3)
+
+
+def test_apply_backbone_weight_init_modes(tmp_path):
+    """The shared --weight-init helper (engine/checkpointing.py): 'virtex'
+    restores the visual subtree from one of our checkpoints; 'random'
+    leaves the fresh init; unknown-without-checkpoint only warns."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from virtex_tpu.engine import (
+        CheckpointManager,
+        TrainState,
+        apply_backbone_weight_init,
+        initialize_model,
+    )
+    from virtex_tpu.factories import VisualBackboneFactory
+    from virtex_tpu.models.downstream import LinearClassifierModel
+    import optax
+
+    visual = VisualBackboneFactory.create("torchvision::resnet18",
+                                          frozen=True, dtype=jnp.float32)
+    model = LinearClassifierModel(visual=visual, num_classes=7)
+    sample = {"image": jnp.zeros((1, 64, 64, 3)),
+              "label": jnp.zeros((1,), jnp.int32)}
+    variables = initialize_model(model, sample, jax.random.PRNGKey(0))
+
+    # Save a "pretraining" checkpoint whose params differ from fresh init.
+    bumped = jax.tree.map(lambda x: x + 1.0, variables["params"])
+    state = TrainState.create(bumped, variables["batch_stats"],
+                              optax.sgd(0.1))
+    mgr = CheckpointManager(str(tmp_path), keep_recent=1)
+    mgr.step(state, 1)
+    mgr.wait_until_finished()
+    path = mgr.latest()
+
+    fresh = initialize_model(model, sample, jax.random.PRNGKey(0))
+    out = apply_backbone_weight_init(fresh, "virtex", path, "resnet18")
+    got = out["params"]["visual"]["cnn"]["conv1"]["kernel"]
+    want = bumped["visual"]["cnn"]["conv1"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+    fresh2 = initialize_model(model, sample, jax.random.PRNGKey(0))
+    before = np.asarray(fresh2["params"]["visual"]["cnn"]["conv1"]["kernel"])
+    out2 = apply_backbone_weight_init(fresh2, "random", None, "resnet18")
+    np.testing.assert_allclose(
+        np.asarray(out2["params"]["visual"]["cnn"]["conv1"]["kernel"]),
+        before)
+    # no checkpoint for a checkpoint-requiring mode: warn, keep init
+    out3 = apply_backbone_weight_init(fresh2, "virtex", None, "resnet18")
+    np.testing.assert_allclose(
+        np.asarray(out3["params"]["visual"]["cnn"]["conv1"]["kernel"]),
+        before)

@@ -142,3 +142,56 @@ def test_cider_from_raw_strings_matches_reference_cider():
         {k: [" ".join(ptb_tokenize(v))] for k, v in preds.items()},
         {k: [" ".join(ptb_tokenize(c)) for c in v] for k, v in gts.items()})
     np.testing.assert_allclose(ours["CIDEr"], 100.0 * ref_score, rtol=1e-6)
+
+
+def test_spice_subprocess_contract(tmp_path, monkeypatch):
+    """Exercise the SPICE jar subprocess contract end-to-end with a stub
+    `java` executable: argv layout (reference metrics.py:294-297), input
+    payload schema, output parsing, and the mean-of-f-scores reduction.
+    No JVM exists in this environment, so the stub stands in for it."""
+    import os
+
+    from virtex_tpu.utils.metrics import SPICE_JAR_ENV, spice
+
+    jar = tmp_path / "spice-1.0.jar"
+    jar.write_bytes(b"not really a jar")
+    stub = tmp_path / "bin" / "java"
+    stub.parent.mkdir()
+    stub.write_text(
+        "#!/usr/bin/env python3\n"
+        "import json, sys\n"
+        "argv = sys.argv[1:]\n"
+        "assert argv[0] == '-jar' and argv[1] == '-Xmx8G', argv\n"
+        "jar, infile = argv[2], argv[3]\n"
+        "opts = dict(zip(argv[4::2], argv[5::2]))\n"
+        "assert '-cache' in opts and '-out' in opts, argv\n"
+        "assert argv[-2:] == ['-subset', '-silent'], argv\n"
+        "data = json.load(open(infile))\n"
+        "out = []\n"
+        "for item in data:\n"
+        "    assert set(item) == {'image_id', 'test', 'refs'}, item\n"
+        "    assert isinstance(item['test'], str)\n"
+        "    assert all(isinstance(r, str) for r in item['refs'])\n"
+        "    # deterministic fake f-score: fraction of shared words\n"
+        "    ref_words = set(' '.join(item['refs']).split())\n"
+        "    test_words = item['test'].split()\n"
+        "    f = len([w for w in test_words if w in ref_words]) / max(\n"
+        "        len(test_words), 1)\n"
+        "    out.append({'image_id': item['image_id'],\n"
+        "                'scores': {'All': {'f': f}}})\n"
+        "json.dump(out, open(opts['-out'], 'w'))\n")
+    stub.chmod(0o755)
+
+    monkeypatch.setenv(SPICE_JAR_ENV, str(jar))
+    monkeypatch.setenv("PATH", f"{stub.parent}:{os.environ['PATH']}")
+
+    preds = {1: ["a", "red", "bus"], 2: ["two", "dogs", "play"]}
+    gts = {1: [["a", "red", "bus", "parked"]],
+           2: [["two", "cats", "play"], ["dogs", "play", "outside"]]}
+    score = spice(preds, gts)
+    np.testing.assert_allclose(score, (3 / 3 + 3 / 3) / 2)
+
+    # Without java/jar the contract is a clear error, not a silent zero.
+    monkeypatch.delenv(SPICE_JAR_ENV)
+    with pytest.raises(RuntimeError, match="SPICE requires java"):
+        spice(preds, gts)

@@ -1,5 +1,6 @@
 from virtex_tpu.engine.checkpointing import (
     CheckpointManager,
+    apply_backbone_weight_init,
     load_checkpoint,
     load_model_variables,
 )
@@ -15,6 +16,7 @@ from virtex_tpu.engine.trainer import (
 
 __all__ = [
     "CheckpointManager",
+    "apply_backbone_weight_init",
     "load_checkpoint",
     "load_model_variables",
     "decode_predictions",

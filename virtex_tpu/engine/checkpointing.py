@@ -194,6 +194,56 @@ def load_model_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     return out
 
 
+def apply_backbone_weight_init(variables: Dict[str, Any], weight_init: str,
+                               checkpoint_path: Optional[str],
+                               arch: str) -> Dict[str, Any]:
+    """Initialise the ``visual`` backbone subtree of downstream-model
+    variables per the reference's four ``--weight-init`` modes
+    (``clf_linear.py:130-142``, ``clf_voc07.py`` shares the flag):
+
+    - ``virtex``: partial-restore ``params/batch_stats.visual`` from one of
+      our pretraining checkpoints at ``checkpoint_path``;
+    - ``torchvision``: convert a torch training-script ``.pth`` from
+      ``checkpoint_path`` into the flax tree;
+    - ``imagenet``: torchvision model-zoo weights for ``arch``;
+    - ``random``: leave the fresh init in place.
+
+    Mutates and returns ``variables``.
+    """
+    import logging
+    logger = logging.getLogger("virtex_tpu")
+    if weight_init == "virtex" and checkpoint_path:
+        template = {"params": variables["params"],
+                    "batch_stats": variables["batch_stats"]}
+        full = load_model_variables(checkpoint_path, template)
+        variables["params"]["visual"] = full["params"]["visual"]
+        variables["batch_stats"]["visual"] = full["batch_stats"]["visual"]
+        logger.info(f"Loaded visual backbone from {checkpoint_path}")
+    elif weight_init == "torchvision" and checkpoint_path:
+        from virtex_tpu.utils.checkpoint_convert import (
+            convert_resnet,
+            load_torch_checkpoint,
+        )
+        params, stats = convert_resnet(load_torch_checkpoint(checkpoint_path))
+        variables["params"]["visual"]["cnn"] = params
+        variables["batch_stats"]["visual"]["cnn"] = stats
+        logger.info(f"Converted torch backbone from {checkpoint_path}")
+    elif weight_init == "imagenet":
+        import torchvision
+
+        from virtex_tpu.utils.checkpoint_convert import convert_resnet
+        tv_model = getattr(torchvision.models, arch)(pretrained=True)
+        params, stats = convert_resnet(
+            {k: v.numpy() for k, v in tv_model.state_dict().items()})
+        variables["params"]["visual"]["cnn"] = params
+        variables["batch_stats"]["visual"]["cnn"] = stats
+        logger.info(f"Loaded imagenet {arch} weights from torchvision")
+    elif weight_init != "random":
+        logger.warning(f"weight-init {weight_init}: no checkpoint given, "
+                       "keeping random init")
+    return variables
+
+
 def load_checkpoint(path: str, state_template: Any) -> Tuple[Any, int]:
     """Convenience one-shot restore (model zoo / downstream init path)."""
     path = os.path.abspath(path)
