@@ -52,20 +52,35 @@ def main():
     batch = _synthetic_batch(batch_size, _C.DATA.IMAGE_CROP_SIZE,
                              _C.DATA.MAX_CAPTION_LENGTH)
 
-    with mesh:
+    def build(donate: bool):
         sharded = shard_batch(batch, mesh)
         variables = initialize_model(model, sharded, jax.random.PRNGKey(0),
                                      mesh)
         tx = OptimizerFactory.from_config(_C, variables["params"])
         state = TrainState.create(variables["params"],
                                   variables["batch_stats"], tx)
-        train_step = make_train_step(model, tx, mesh, donate=False)
-        rng = jax.random.PRNGKey(1)
+        return sharded, state, make_train_step(model, tx, mesh,
+                                               donate=donate)
 
-        # Warmup (compile + first steps).
-        for _ in range(3):
-            state, metrics = train_step(state, sharded, rng)
-        jax.block_until_ready(metrics["loss"])
+    with mesh:
+        # Donation halves parameter traffic on the update; real TPU
+        # runtimes support it, the axon dev tunnel rejects it at runtime
+        # (engine/trainer.donation_supported). Try it, fall back cleanly.
+        from virtex_tpu.engine.trainer import donation_supported
+        donate = donation_supported()
+        rng = jax.random.PRNGKey(1)
+        try:
+            sharded, state, train_step = build(donate)
+            for _ in range(3):  # warmup (compile + first steps)
+                state, metrics = train_step(state, sharded, rng)
+            jax.block_until_ready(metrics["loss"])
+        except Exception:
+            if not donate:
+                raise
+            sharded, state, train_step = build(donate=False)
+            for _ in range(3):
+                state, metrics = train_step(state, sharded, rng)
+            jax.block_until_ready(metrics["loss"])
 
         iters = 20
         t0 = time.perf_counter()

@@ -294,3 +294,54 @@ def test_reference_cider_parity():
     our_score = cider({k: v[0].split() for k, v in preds.items()},
                       {k: [s.split() for s in v] for k, v in gts.items()})
     np.testing.assert_allclose(our_score, ref_score, rtol=1e-6)
+
+
+def test_reference_nucleus_sampling_stochastic_distribution():
+    """Stochastic-path parity, statistically: with a fixed step
+    distribution, top-p(0.9) keeps exactly the 3 head tokens (the one that
+    crosses p is kept — reference nucleus_sampling.py:78-91) renormalised
+    to [10/19, 6/19, 3/19]; excluded tokens must NEVER be sampled, and
+    empirical frequencies from both implementations must match the
+    analytic law (N=4096, tolerance ≈ 5σ)."""
+    from virtex.utils.nucleus_sampling import (
+        AutoRegressiveNucleusSampling as RefNS,
+    )
+
+    from virtex_tpu.utils.nucleus_sampling import AutoRegressiveNucleusSampling
+
+    V, EOS, N = 8, 7, 4096
+    probs = np.full(V, 1e-9, np.float64)
+    probs[2], probs[3], probs[4], probs[5] = 0.50, 0.30, 0.15, 0.05
+    logits = np.log(probs / probs.sum()).astype(np.float32)
+    kept = {2, 3, 4}
+    expect = {2: 0.50 / 0.95, 3: 0.30 / 0.95, 4: 0.15 / 0.95}
+    tol = 5 * np.sqrt(0.5 * 0.5 / N)
+
+    torch.manual_seed(7)
+    t_logits = torch.tensor(logits)
+
+    def ref_step(partial):
+        return t_logits.unsqueeze(0).expand(partial.shape[0], V)
+
+    ref_preds, _ = RefNS(eos_index=EOS, max_steps=1, nucleus_size=0.9).search(
+        torch.full((N,), 1, dtype=torch.long), ref_step)
+    ref_first = ref_preds[:, 0].numpy()
+
+    j_logits = jnp.asarray(logits)
+
+    def our_step(last, position, state):
+        return jnp.broadcast_to(j_logits, (last.shape[0], V)), state
+
+    ours = AutoRegressiveNucleusSampling(eos_index=EOS, max_steps=1,
+                                         nucleus_size=0.9)
+    preds, _ = ours.search(jnp.full((N,), 1, jnp.int32), our_step, {},
+                           jax.random.PRNGKey(11))
+    our_first = np.asarray(preds)[:, 0]
+
+    for name, first in [("reference", ref_first), ("ours", our_first)]:
+        observed = set(np.unique(first).tolist())
+        assert observed <= kept, f"{name} sampled outside the nucleus: " \
+                                 f"{observed - kept}"
+        for tok, p in expect.items():
+            freq = float(np.mean(first == tok))
+            assert abs(freq - p) < tol, (name, tok, freq, p)
