@@ -33,6 +33,14 @@ def main(configs):
         model = PretrainingModelFactory.from_config(_C)
         bs = 128
         batch = _synthetic_batch(bs, 224, 30, vocab=_C.DATA.VOCAB_SIZE)
+        # Task-specific batch keys (models/masked_lm.py, classification.py).
+        if "masked_lm" in _C.MODEL.NAME:
+            batch["masked_labels"] = batch.pop("noitpac_tokens")
+        elif "classification" in _C.MODEL.NAME:
+            labels = batch.pop("caption_tokens")
+            if "token" not in _C.MODEL.NAME:  # multilabel: 80 categories
+                labels = labels % 80 + 1
+            batch = {"image": batch["image"], "labels": labels}
         mesh = create_mesh(1, 1)
         with mesh:
             sb = shard_batch(batch, mesh)

@@ -232,3 +232,213 @@ def test_resnet_converter_naming_roundtrip():
     assert params["conv1"]["kernel"].shape == (7, 7, 3, 64)
     assert "layer1_0" in params and "conv2" in params["layer1_0"]
     assert stats["layer1_0"]["bn2"]["var"].shape == (64,)
+
+
+def test_export_resnet_roundtrip():
+    """export_resnet is the exact inverse of convert_resnet (torchvision
+    naming, incl. downsample blocks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from virtex_tpu.modules.resnet import make_resnet
+    from virtex_tpu.utils.checkpoint_convert import (
+        convert_resnet,
+        export_resnet,
+    )
+
+    model = make_resnet("resnet18", dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    params = jax.tree.map(np.asarray, variables["params"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    sd = export_resnet(params, stats)
+    assert "layer1.0.conv1.weight" in sd
+    assert "layer2.0.downsample.0.weight" in sd
+    assert sd["bn1.num_batches_tracked"].dtype == np.int64
+
+    p2, s2 = convert_resnet(sd)
+    for tree, tree2 in ((params, p2), (stats, s2)):
+        flat = jax.tree_util.tree_leaves_with_path(tree)
+        flat2 = dict(jax.tree_util.tree_leaves_with_path(tree2))
+        assert len(flat) == len(flat2)
+        for path, leaf in flat:
+            np.testing.assert_array_equal(leaf, flat2[path], err_msg=str(path))
+
+
+@pytest.mark.parametrize("prenorm", [False, True])
+def test_export_virtex_checkpoint_reverse_parity(prenorm):
+    """Reverse interchange: OUR randomly-initialised textual head exported
+    with export_virtex_checkpoint loads into the ACTUAL reference
+    TransformerDecoderTextualHead (strict), which then reproduces our
+    logits — models pretrained here flow back into reference tooling."""
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        from virtex.modules.textual_heads import TransformerDecoderTextualHead
+    except Exception:
+        pytest.skip("reference repo not available")
+
+    import jax
+    import jax.numpy as jnp
+
+    from virtex_tpu.modules.textual_heads import TransformerTextualHead
+    from virtex_tpu.utils.checkpoint_convert import export_virtex_checkpoint
+
+    VIS, VOCAB, H, HEADS, FF, L, MAXLEN = 64, 50, 32, 4, 64, 2, 10
+    norm_type = "pre" if prenorm else "post"
+    ours = TransformerTextualHead(
+        visual_feature_size=VIS, vocab_size=VOCAB, hidden_size=H,
+        num_layers=L, attention_heads=HEADS, feedforward_size=FF,
+        dropout=0.0, norm_type=norm_type, mask_future_positions=True,
+        max_caption_length=MAXLEN, padding_idx=0, dtype=jnp.float32)
+
+    B, T = 2, 6
+    rng = np.random.RandomState(5)
+    grid = rng.randn(B, 2, 2, VIS).astype(np.float32)
+    tokens = rng.randint(4, VOCAB, (B, T))
+    tokens[:, 0] = 1
+    tokens[0, -1] = 0
+    lengths = np.array([T - 1, T])
+
+    variables = ours.init(jax.random.PRNGKey(3), jnp.asarray(grid),
+                          jnp.asarray(tokens), jnp.asarray(lengths))
+    our_logits = np.asarray(ours.apply(
+        variables, jnp.asarray(grid), jnp.asarray(tokens),
+        jnp.asarray(lengths), deterministic=True))
+
+    sd = export_virtex_checkpoint(
+        {"params": {"textual": variables["params"]},
+         "batch_stats": {}})
+    head_sd = {k[len("textual."):]: torch.tensor(v)
+               for k, v in sd.items() if k.startswith("textual.")}
+
+    ref = TransformerDecoderTextualHead(
+        visual_feature_size=VIS, vocab_size=VOCAB, hidden_size=H,
+        num_layers=L, attention_heads=HEADS, feedforward_size=FF,
+        dropout=0.0, norm_first=prenorm, max_caption_length=MAXLEN,
+        padding_idx=0)
+    missing, unexpected = ref.load_state_dict(head_sd, strict=False)
+    assert not unexpected, unexpected
+    # only buffers torch does not checkpoint may be missing
+    assert all("future_mask" in m or "position" in m for m in missing), missing
+    ref.eval()
+    with torch.no_grad():
+        ref_logits = ref(torch.tensor(grid.transpose(0, 3, 1, 2)),
+                         torch.tensor(tokens), torch.tensor(lengths)).numpy()
+    np.testing.assert_allclose(ref_logits, our_logits, rtol=5e-4, atol=5e-4)
+
+
+def test_export_bicaptioning_roundtrip():
+    """Full-model round trip: export_virtex_checkpoint →
+    convert_virtex_checkpoint reproduces the original trees, including the
+    backward transformer and the reference's shared-module duplicate keys."""
+    import jax
+    import jax.numpy as jnp
+
+    from virtex_tpu.modules.textual_heads import TransformerTextualHead
+    from virtex_tpu.modules.visual_backbones import ResNetVisualBackbone
+    from virtex_tpu.models.captioning import BidirectionalCaptioningModel
+    from virtex_tpu.utils.checkpoint_convert import (
+        convert_virtex_checkpoint,
+        export_virtex_checkpoint,
+    )
+
+    model = BidirectionalCaptioningModel(
+        visual=ResNetVisualBackbone("resnet18", dtype=jnp.float32),
+        textual=TransformerTextualHead(
+            visual_feature_size=512, vocab_size=40, hidden_size=32,
+            num_layers=1, attention_heads=4, feedforward_size=64,
+            dropout=0.0, norm_type="post", mask_future_positions=True,
+            max_caption_length=8, padding_idx=0, bidirectional=True,
+            dtype=jnp.float32))
+    tokens = jnp.ones((2, 8), jnp.int32)
+    batch = {"image": jnp.zeros((2, 64, 64, 3)), "caption_tokens": tokens,
+             "noitpac_tokens": tokens, "caption_lengths": jnp.full((2,), 8)}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jax.tree.map(np.asarray, dict(variables))
+
+    sd = export_virtex_checkpoint(variables)
+    # shared modules appear under both prefixes, bit-identical
+    np.testing.assert_array_equal(sd["textual.embedding.words.weight"],
+                                  sd["backward_textual.embedding.words.weight"])
+    assert "backward_textual.transformer.layers.0.self_attn.in_proj_weight" \
+        in sd
+
+    back = convert_virtex_checkpoint(sd, num_layers=1, prenorm=False)
+    for coll in ("params", "batch_stats"):
+        want = variables[coll]["visual"]["cnn"]
+        got = back[coll]["visual"]["cnn"]
+        flat = dict(jax.tree_util.tree_leaves_with_path(want))
+        flat2 = dict(jax.tree_util.tree_leaves_with_path(got))
+        assert flat.keys() == flat2.keys()
+        for path in flat:
+            np.testing.assert_array_equal(flat[path], flat2[path])
+    flat = dict(jax.tree_util.tree_leaves_with_path(
+        variables["params"]["textual"]))
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(
+        back["params"]["textual"]))
+    assert flat.keys() == flat2.keys()
+    for path in flat:
+        np.testing.assert_array_equal(flat[path], flat2[path],
+                                      err_msg=str(path))
+
+
+def test_export_cli_roundtrip(tmp_path):
+    """scripts/export_torch_checkpoint.py: orbax checkpoint in → reference
+    .pth out, reloadable by our own torch-import path (closing the loop)."""
+    import argparse
+    import runpy
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from virtex_tpu.config import Config
+    from virtex_tpu.engine import (
+        CheckpointManager,
+        TrainState,
+        initialize_model,
+    )
+    from virtex_tpu.factories import PretrainingModelFactory
+    from virtex_tpu.utils.checkpoint_convert import load_torch_checkpoint
+
+    overrides = [
+        "MODEL.NAME", "bicaptioning",
+        "MODEL.VISUAL.NAME", "torchvision::resnet18",
+        "MODEL.VISUAL.FEATURE_SIZE", 512,
+        "MODEL.TEXTUAL.NAME", "transdec_postnorm::L1_H64_A4_F128",
+        "DATA.MAX_CAPTION_LENGTH", 8,
+        "DATA.IMAGE_CROP_SIZE", 64,
+    ]
+    _C = Config(override_list=overrides)
+    model = PretrainingModelFactory.from_config(_C)
+    tokens = np.ones((1, 8), np.int32)
+    sample = {"image": np.zeros((1, 64, 64, 3), np.float32),
+              "caption_tokens": tokens, "noitpac_tokens": tokens,
+              "caption_lengths": np.full((1,), 8, np.int32)}
+    variables = initialize_model(model, sample, jax.random.PRNGKey(0))
+    state = TrainState.create(variables["params"], variables["batch_stats"],
+                              optax.sgd(0.1))
+    mgr = CheckpointManager(str(tmp_path / "ser"), keep_recent=1)
+    mgr.step(state, 7)
+    mgr.wait_until_finished()
+
+    out_pth = str(tmp_path / "export.pth")
+    sys.path.insert(0, "/root/repo/scripts")
+    import export_torch_checkpoint as cli
+    ns = argparse.Namespace(config=None, config_override=overrides,
+                            checkpoint_path=mgr.latest(), output=out_pth,
+                            iteration=7)
+    cli.main(ns)
+
+    sd = load_torch_checkpoint(out_pth)
+    assert "visual.cnn.conv1.weight" in sd
+    assert "backward_textual.transformer.layers.0.linear1.weight" in sd
+    np.testing.assert_array_equal(
+        sd["visual.cnn.conv1.weight"].shape, (64, 3, 7, 7))
+    want = np.asarray(variables["params"]["visual"]["cnn"]["conv1"]["kernel"])
+    np.testing.assert_allclose(sd["visual.cnn.conv1.weight"],
+                               want.transpose(3, 2, 0, 1), rtol=1e-6)

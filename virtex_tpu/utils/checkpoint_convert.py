@@ -174,3 +174,147 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
             break
     return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
             for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# Reverse direction: flax variable trees → reference torch state-dicts.
+# Completes the interchange story (SURVEY §5.4: "checkpoints are also the
+# interchange format"): models pretrained HERE can flow back into the
+# reference's eval tooling / published-checkpoint workflows unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _f_conv(k: np.ndarray) -> np.ndarray:
+    """flax HWIO conv kernel → torch OIHW."""
+    return np.ascontiguousarray(np.asarray(k, np.float32).transpose(3, 2, 0, 1))
+
+
+def _f_lin(k: np.ndarray) -> np.ndarray:
+    """flax kernel (in, out) → torch Linear weight (out, in)."""
+    return np.ascontiguousarray(np.asarray(k, np.float32).T)
+
+
+def export_resnet(params: Dict[str, Any], stats: Dict[str, Any],
+                  prefix: str = "") -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_resnet`: our ResNet trees → torchvision
+    state-dict naming (incl. ``num_batches_tracked`` for strict loads)."""
+    out: Dict[str, np.ndarray] = {}
+
+    def bn(src: Dict, st: Dict, dst: str):
+        out[f"{dst}.weight"] = np.asarray(src["scale"], np.float32)
+        out[f"{dst}.bias"] = np.asarray(src["bias"], np.float32)
+        out[f"{dst}.running_mean"] = np.asarray(st["mean"], np.float32)
+        out[f"{dst}.running_var"] = np.asarray(st["var"], np.float32)
+        out[f"{dst}.num_batches_tracked"] = np.asarray(0, np.int64)
+
+    out[f"{prefix}conv1.weight"] = _f_conv(params["conv1"]["kernel"])
+    bn(params["bn1"], stats["bn1"], f"{prefix}bn1")
+    for key in sorted(k for k in params if k.startswith("layer")):
+        stage, idx = key[len("layer"):].split("_")
+        dst = f"{prefix}layer{stage}.{idx}"
+        blk_p, blk_s = params[key], stats[key]
+        for c in (1, 2, 3):
+            if f"conv{c}" in blk_p:
+                out[f"{dst}.conv{c}.weight"] = _f_conv(
+                    blk_p[f"conv{c}"]["kernel"])
+                bn(blk_p[f"bn{c}"], blk_s[f"bn{c}"], f"{dst}.bn{c}")
+        if "downsample_conv" in blk_p:
+            out[f"{dst}.downsample.0.weight"] = _f_conv(
+                blk_p["downsample_conv"]["kernel"])
+            bn(blk_p["downsample_bn"], blk_s["downsample_bn"],
+               f"{dst}.downsample.1")
+    return out
+
+
+def _export_ln(tree: Dict, dst: str, out: Dict) -> None:
+    out[f"{dst}.weight"] = np.asarray(tree["scale"], np.float32)
+    out[f"{dst}.bias"] = np.asarray(tree["bias"], np.float32)
+
+
+def export_transformer_stack(tree: Dict[str, Any], dst: str
+                             ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_transformer_stack`: our decoder params →
+    torch ``nn.TransformerDecoder`` naming (packed ``in_proj_weight``)."""
+    out: Dict[str, np.ndarray] = {}
+    layers = sorted((k for k in tree if k.startswith("layer_")),
+                    key=lambda k: int(k.split("_")[1]))
+    for key in layers:
+        i = int(key.split("_")[1])
+        l = tree[key]
+        for src_attn, dst_attn in (("self_attn", "self_attn"),
+                                   ("cross_attn", "multihead_attn")):
+            a = l[src_attn]
+            out[f"{dst}.layers.{i}.{dst_attn}.in_proj_weight"] = np.vstack(
+                [_f_lin(a[n]["kernel"]) for n in ("query", "key", "value")])
+            out[f"{dst}.layers.{i}.{dst_attn}.in_proj_bias"] = np.concatenate(
+                [np.asarray(a[n]["bias"], np.float32)
+                 for n in ("query", "key", "value")])
+            out[f"{dst}.layers.{i}.{dst_attn}.out_proj.weight"] = _f_lin(
+                a["out"]["kernel"])
+            out[f"{dst}.layers.{i}.{dst_attn}.out_proj.bias"] = np.asarray(
+                a["out"]["bias"], np.float32)
+        out[f"{dst}.layers.{i}.linear1.weight"] = _f_lin(
+            l["ffn"]["intermediate"]["kernel"])
+        out[f"{dst}.layers.{i}.linear1.bias"] = np.asarray(
+            l["ffn"]["intermediate"]["bias"], np.float32)
+        out[f"{dst}.layers.{i}.linear2.weight"] = _f_lin(
+            l["ffn"]["output"]["kernel"])
+        out[f"{dst}.layers.{i}.linear2.bias"] = np.asarray(
+            l["ffn"]["output"]["bias"], np.float32)
+        for n in ("norm1", "norm2", "norm3"):
+            _export_ln(l[n], f"{dst}.layers.{i}.{n}", out)
+    if "final_norm" in tree:
+        _export_ln(tree["final_norm"], f"{dst}.norm", out)
+    return out
+
+
+def export_virtex_checkpoint(variables: Dict[str, Any]
+                             ) -> Dict[str, np.ndarray]:
+    r"""Full flax ``{"params", "batch_stats"}`` → reference VirTex model
+    state-dict (``{name: np.ndarray}``). ``torch.save({"model": {k:
+    torch.tensor(v) …}})`` then yields a checkpoint the reference's
+    ``CheckpointManager.load`` consumes.
+
+    Mirrors the reference's module sharing (``captioning.py:57-63``): for
+    bicaptioning the ``backward_textual`` entries for visual projection,
+    embedding and output duplicate the forward ones, exactly as the
+    reference's ``state_dict()`` emits them.
+    """
+    params, stats = variables["params"], variables["batch_stats"]
+    out: Dict[str, np.ndarray] = {}
+    if params.get("visual", {}).get("cnn"):
+        out.update(export_resnet(params["visual"]["cnn"],
+                                 stats["visual"]["cnn"],
+                                 prefix="visual.cnn."))
+    t = params["textual"]
+
+    def textual_shared(dst: str) -> Dict[str, np.ndarray]:
+        words = np.asarray(t["embedding"]["words"]["embedding"], np.float32)
+        shared = {
+            f"{dst}.visual_projection.weight": _f_lin(
+                t["visual_projection"]["kernel"]),
+            f"{dst}.visual_projection.bias": np.asarray(
+                t["visual_projection"]["bias"], np.float32),
+            f"{dst}.embedding.words.weight": words,
+            f"{dst}.embedding.positions.weight": np.asarray(
+                t["embedding"]["positions"]["embedding"], np.float32),
+            # output weight is TIED to the word embedding
+            # (reference textual_heads.py:199-200)
+            f"{dst}.output.weight": words,
+            f"{dst}.output.bias": np.asarray(t["output_bias"], np.float32),
+        }
+        ln = t["embedding"]["layer_norm"]
+        shared[f"{dst}.embedding.layer_norm.weight"] = np.asarray(
+            ln["scale"], np.float32)
+        shared[f"{dst}.embedding.layer_norm.bias"] = np.asarray(
+            ln["bias"], np.float32)
+        return shared
+
+    out.update(textual_shared("textual"))
+    out.update(export_transformer_stack(t["transformer"],
+                                        "textual.transformer"))
+    if "backward_transformer" in t:
+        out.update(textual_shared("backward_textual"))
+        out.update(export_transformer_stack(t["backward_transformer"],
+                                            "backward_textual.transformer"))
+    return out
