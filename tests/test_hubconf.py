@@ -1,14 +1,20 @@
 """Hub-style entry point smoke (reference hubconf.py:10-35): resnet50()
 returns an (apply_fn, variables) pair emitting the 7x7x2048 spatial grid."""
-import sys
+import importlib.util
+import os
 
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_hub_resnet50_feature_extractor():
-    import hubconf
+    # Load by explicit path: other parity tests put /root/reference on
+    # sys.path, whose hubconf.py (torchvision-importing) would shadow ours.
+    spec = importlib.util.spec_from_file_location(
+        "virtex_tpu_hubconf", os.path.join(REPO, "hubconf.py"))
+    hubconf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(hubconf)
 
     apply_fn, variables = hubconf.resnet50(pretrained=False)
     feats = apply_fn(variables, jnp.zeros((2, 224, 224, 3), jnp.float32))

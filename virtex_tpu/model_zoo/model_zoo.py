@@ -49,12 +49,19 @@ _MODEL_ZOO_CONFIGS: Dict[str, str] = {
 
 
 def _configs_root() -> str:
-    """Repo-relative configs dir; $VIRTEX_TPU_CONFIGS_DIR overrides for
-    pip-installed deployments (the reference ships configs by symlinking
-    them into the package at setup time, setup.py:9-39)."""
+    """Configs dir, resolved like the reference's packaged configs
+    (``setup.py:9-39`` symlinks them into the package): the in-package
+    copy (``virtex_tpu/model_zoo/configs`` — a symlink in the dev
+    checkout, a real directory in built wheels) wins unless
+    $VIRTEX_TPU_CONFIGS_DIR overrides; repo-root ``configs/`` is the
+    final fallback."""
     env = os.environ.get("VIRTEX_TPU_CONFIGS_DIR")
     if env:
         return env
+    packaged = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "configs")
+    if os.path.isdir(packaged):
+        return packaged
     return os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), "configs")
 
