@@ -95,3 +95,51 @@ def make_tokenizer(tmp_path, vocab_size=300):
     return train_tokenizer(
         CAPTIONS * 40, str(tmp_path / "tok.model"), vocab_size=vocab_size
     )
+
+
+LEARNABLE_CLASSES = [
+    # (BGR base color, caption) — color determines the caption, so the
+    # image→caption mapping is learnable end-to-end. Colors sit far apart
+    # so the default color-jitter augmentation cannot cross classes; no
+    # left/right words (solid colors are flip-invariant, the paired-flip
+    # word swap would inject label noise).
+    ((40, 40, 220), "a bright red ball on the table"),
+    ((60, 200, 60), "green grass covers the field"),
+    ((220, 80, 40), "a deep blue ocean under the sky"),
+    ((40, 220, 220), "a yellow taxi waits at the corner"),
+    ((200, 60, 200), "purple flowers bloom in the garden"),
+    ((210, 210, 60), "a cyan sign hangs above the door"),
+]
+
+
+def make_learnable_coco(root, n_train=240, n_val=48, size=(160, 160),
+                        seed=0):
+    """COCO-2017-layout dataset whose captions are a deterministic function
+    of image color — the end-to-end quality-proxy fixture: a model that
+    learns the mapping scores high CIDEr on val through the real
+    pretrain → checkpoint → eval_captioning → metrics pipeline."""
+    rng = np.random.RandomState(seed)
+    for split, n_images in (("train", n_train), ("val", n_val)):
+        img_dir = os.path.join(root, f"{split}2017")
+        os.makedirs(img_dir, exist_ok=True)
+        os.makedirs(os.path.join(root, "annotations"), exist_ok=True)
+        images, annotations = [], []
+        ann_id = 1
+        for i in range(n_images):
+            image_id = i + 1
+            color, caption = LEARNABLE_CLASSES[i % len(LEARNABLE_CLASSES)]
+            img = np.full((*size, 3), color, np.uint8)
+            noise = rng.randint(-25, 26, img.shape).astype(np.int16)
+            img = np.clip(img.astype(np.int16) + noise, 0, 255).astype(
+                np.uint8)
+            fname = f"{image_id:012d}.jpg"
+            cv2.imwrite(os.path.join(img_dir, fname), img)
+            images.append({"id": image_id, "file_name": fname,
+                           "height": size[0], "width": size[1]})
+            annotations.append({"id": ann_id, "image_id": image_id,
+                                "caption": caption})
+            ann_id += 1
+        with open(os.path.join(root, "annotations",
+                               f"captions_{split}2017.json"), "w") as f:
+            json.dump({"images": images, "annotations": annotations}, f)
+    return root
