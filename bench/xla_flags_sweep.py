@@ -84,7 +84,12 @@ def main():
     if os.path.exists(RESULTS):
         with open(RESULTS) as f:
             for ln in f:
-                done.add(json.loads(ln)["name"])
+                row = json.loads(ln)
+                # Error rows don't count as done: the committed results
+                # carry tunnel-rejected --xla_tpu_* variants that a real
+                # runtime should re-measure, not skip.
+                if "error" not in row:
+                    done.add(row["name"])
 
     for name, flags, overrides in VARIANTS:
         if args.only and name != args.only:

@@ -46,8 +46,9 @@ def main(_A) -> None:
         dataset = PretrainingDatasetFactory.from_config(_C, split="val")
 
     # pad_final: keep every batch the static size so the compiled decode is
-    # built ONCE (a short tail batch would recompile it); duplicated tail
-    # items are deduped below via the seen-ids set.
+    # built ONCE (a short tail batch would recompile it); the padded rows
+    # are trimmed below (sequential order: the first len(dataset)
+    # predictions are exactly the real items).
     loader = DataLoader(dataset, _A.batch_size, shuffle=False,
                         num_workers=_A.cpu_workers, infinite=False,
                         drop_last=False, pad_final=True,
@@ -80,7 +81,6 @@ def main(_A) -> None:
                                  prefix_mode=_C.MODEL.DECODER.PREFIX_MODE)
 
     predictions = []
-    seen_ids = set()
     for batch in loader:
         images = jax.numpy.asarray(batch["image"])
         preds = caption_fn(variables, images,
@@ -89,10 +89,12 @@ def main(_A) -> None:
                                       eos_index=_C.DATA.EOS_INDEX)
         ids = np.asarray(batch["image_id"])
         for img_id, caption in zip(ids.tolist(), captions):
-            if img_id in seen_ids:  # pad_final duplicate
-                continue
-            seen_ids.add(img_id)
             predictions.append({"image_id": img_id, "caption": caption})
+    # Drop the pad_final rows: only the last batch is padded (with repeats
+    # of its own tail items), so the first len(dataset) rows are exactly
+    # the real items — no id-based dedupe, which would silently drop
+    # distinct images whose ids collide (a.jpg vs a.png stems).
+    predictions = predictions[: len(dataset)]
 
     logger.info("Sample predictions:")
     for p in predictions[:10]:

@@ -46,10 +46,12 @@ def infer_resnet_depth(visual_name: str) -> int:
     """ResNet depth for D2's ``MODEL.RESNETS.DEPTH`` from the visual-name
     grammar (reference ``eval_detectron2.py:108-116``): ``torchvision::
     resnet50`` → 50, ``detectron2::…_R_101_…`` → 101, anything else → 0."""
-    if "torchvision" in visual_name:
-        return int(re.search(r"resnet(\d+)", visual_name).group(1))
-    if "detectron2" in visual_name:
-        return int(re.search(r"_R_(\d+)", visual_name).group(1))
+    m = re.search(r"resnet(\d+)", visual_name)
+    if m:  # torchvision grammar, with or without the "torchvision::" prefix
+        return int(m.group(1))
+    m = re.search(r"_R_(\d+)", visual_name)
+    if m:  # detectron2 grammar
+        return int(m.group(1))
     return 0
 
 
@@ -67,6 +69,14 @@ def gather_backbone_weights(_C: Config, weight_init: str,
     reference init modes (``eval_detectron2.py:177-226``). Always returns
     the ``{"model", "__author__", "matching_heuristics"}`` dict."""
     variables = init_visual_variables(_C)
+
+    if weight_init in ("virtex", "torchvision") and not checkpoint_path:
+        # Same guard as apply_backbone_weight_init: without a checkpoint
+        # these modes fall back to the random init (still exports a valid
+        # D2 pickle, e.g. for a random-init baseline).
+        logger.warning(f"--weight-init {weight_init} without "
+                       "--checkpoint-path: exporting random init")
+        weight_init = "random"
 
     if weight_init == "virtex":
         # our orbax full-model checkpoint → visual subtree
@@ -215,7 +225,10 @@ def run_detectron2(_C: Config, _A, weights: dict) -> None:
             return results
 
     if _A.resume:
-        weights = _A.checkpoint_path  # let D2 resume from its own ckpt
+        # Let D2 resume from its own checkpoint. resume_or_load(resume=True)
+        # prefers OUTPUT_DIR's last_checkpoint; "" means "no explicit path"
+        # (the DefaultTrainer convention), so --checkpoint-path is optional.
+        weights = _A.checkpoint_path or ""
     trainer = DownstreamTrainer(_D2C, weights)
     if _A.eval_only:
         trainer.test()

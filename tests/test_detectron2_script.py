@@ -25,8 +25,19 @@ def tiny_config(tmp_path=None, arch="resnet18"):
 def test_depth_inference_grammars():
     assert infer_resnet_depth("torchvision::resnet50") == 50
     assert infer_resnet_depth("torchvision::resnet101") == 101
+    assert infer_resnet_depth("resnet50") == 50  # bare name, factory-valid
     assert infer_resnet_depth("detectron2::FPN_R_101_asdf") == 101
     assert infer_resnet_depth("something_else") == 0
+
+
+def test_virtex_mode_without_checkpoint_exports_random_init():
+    # --weight-init virtex with no --checkpoint-path must fall back to a
+    # random-init export (same guard as apply_backbone_weight_init), not
+    # crash on load_model_variables(None).
+    d2 = gather_backbone_weights(tiny_config(), "virtex",
+                                 checkpoint_path=None)
+    assert d2["matching_heuristics"] is True
+    assert d2["model"]["stem.conv1.weight"].shape == (64, 3, 7, 7)
 
 
 def test_random_init_export_shapes():

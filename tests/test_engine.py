@@ -112,6 +112,18 @@ def test_checkpoint_prune_and_best(tmp_path, trained):
     assert it in (1, 2, 3)
 
 
+def test_del_flushes_pending_best(tmp_path, trained):
+    # A caller that never calls wait_until_finished (e.g. a script that
+    # simply returns after its last step) still gets the rolling-best copy
+    # and the final prune when the manager is garbage-collected.
+    _, _, state, _, _ = trained
+    mgr = CheckpointManager(str(tmp_path / "ck3"), keep_recent=2)
+    mgr.step(state, 7, metric=0.8)
+    mgr.__del__()
+    entries = set(os.listdir(str(tmp_path / "ck3")))
+    assert {"checkpoint_7", "checkpoint_best"} <= entries
+
+
 def test_apply_backbone_weight_init_modes(tmp_path):
     """The shared --weight-init helper (engine/checkpointing.py): 'virtex'
     restores the visual subtree from one of our checkpoints; 'random'

@@ -82,7 +82,7 @@ def test_evaluator_accepts_annotation_file(tmp_path):
 
 
 def test_ptb_tokenize_golden_fixture():
-    """50 caption-realistic cases against committed expectations of
+    """51 caption-realistic cases against committed expectations of
     CoreNLP PTBTokenizer (-preserveLines -lowerCase) + the reference's
     punctuation filter (see fixture _provenance)."""
     import json
@@ -94,7 +94,7 @@ def test_ptb_tokenize_golden_fixture():
                         "ptb_tokenizer_golden.json")
     with open(path) as f:
         cases = json.load(f)["cases"]
-    assert len(cases) == 50
+    assert len(cases) >= 50
     failures = [
         (c["in"], ptb_tokenize(c["in"]), c["out"])
         for c in cases if ptb_tokenize(c["in"]) != c["out"]

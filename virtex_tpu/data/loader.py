@@ -214,15 +214,17 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            # The whole-batch path needs no thread pool: the single C++
+            # call fans the batch over cores with OpenMP itself.
+            pool = (None if batched_fetch
+                    else ThreadPoolExecutor(self.num_workers))
+            try:
                 try:
                     for pairs in batch_pairs():
                         if stop.is_set():
                             return
                         if batched_fetch:
-                            # one task: C++ fans the batch over cores
-                            items = pool.submit(
-                                self._fetch_batch, pairs).result()
+                            items = self._fetch_batch(pairs)
                         else:
                             futures = [pool.submit(self._fetch, e, i)
                                        for e, i in pairs]
@@ -237,6 +239,9 @@ class DataLoader:
                     out_q.put(None)
                 except BaseException as e:  # surface worker errors
                     out_q.put(e)
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=True)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

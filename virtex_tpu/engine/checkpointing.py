@@ -100,8 +100,15 @@ class CheckpointManager:
         """Block until the in-flight save commits, then run deferred
         best-tracking and pruning (process 0 mutates, everyone barriers)."""
         self._ckpt.wait_until_finished()
+        if self._flush_pending():
+            dist.synchronize()
+
+    def _flush_pending(self) -> bool:
+        """Deferred best-copy + prune for the last committed save. No
+        collective — callable from ``__del__`` where a barrier could hang
+        interpreter teardown."""
         if self._pending is None:
-            return
+            return False
         iteration, metric = self._pending
         self._pending = None
         if metric is not None and (self.best_metric is None
@@ -114,7 +121,7 @@ class CheckpointManager:
                 shutil.copytree(self._path(iteration), best)
         if _is_primary():
             self._prune()
-        dist.synchronize()
+        return True
 
     def _numbered(self) -> List[int]:
         out = []
@@ -135,8 +142,14 @@ class CheckpointManager:
         return self._path(numbered[-1]) if numbered else None
 
     def __del__(self):
+        # Flush the in-flight save AND the deferred best-copy/prune so a
+        # caller that never calls wait_until_finished (e.g. a script that
+        # simply returns after its last step) still gets the rolling-best
+        # contract — but skip the barrier: collectives are unsafe during
+        # interpreter teardown.
         try:
             self._ckpt.wait_until_finished()
+            self._flush_pending()
         except Exception:
             pass
 

@@ -110,9 +110,10 @@ def ptb_tokenize(caption: str) -> List[str]:
         s = s.replace(raw, f" {tok} ")
     # double quotes → PTB quote pair tokens (both filtered out)
     s = s.replace('"', " '' ")
-    # separate . and , except between digits (keep 3.5 / 1,000 intact)
+    # separate . and , unless a digit follows — PTB's rule keeps 3.5 /
+    # 1,000 AND leading decimals like .22 intact (splitting on
+    # "not between two digits" would strip the dot off ".22")
     s = re.sub(r"([.,])(?![0-9])", r" \1 ", s)
-    s = re.sub(r"(?<![0-9])([.,])", r" \1 ", s)
     # always-separated symbols ($ 5, 50 %, black & white)
     s = re.sub(r"([;:!?$%&@#*+=<>/\\|~^])", r" \1 ", s)
     # contractions: n't, then 's 're 've 'll 'd 'm; standalone apostrophes
