@@ -112,6 +112,56 @@ def test_checkpoint_prune_and_best(tmp_path, trained):
     assert it in (1, 2, 3)
 
 
+def test_partial_restore_from_pretraining_checkpoint(tmp_path, trained):
+    """The real transfer flow: a PRETRAINING checkpoint (params
+    {visual, textual}) restored into a downstream template
+    ({visual, fc}) — the template's extra/missing keys must not break the
+    partial load (a strict tree zip would raise on the key mismatch)."""
+    import optax
+
+    from virtex_tpu.engine import apply_backbone_weight_init
+    from virtex_tpu.factories import VisualBackboneFactory
+    from virtex_tpu.models.downstream import LinearClassifierModel
+
+    _, _, state, _, _ = trained  # ForwardCaptioningModel: visual+textual
+    mgr = CheckpointManager(str(tmp_path / "pre"), keep_recent=1)
+    mgr.step(state, 5)
+    mgr.wait_until_finished()
+
+    visual = VisualBackboneFactory.create("torchvision::resnet18",
+                                          frozen=True, dtype=jnp.float32)
+    probe = LinearClassifierModel(visual=visual, num_classes=7)
+    sample = {"image": jnp.zeros((1, 64, 64, 3)),
+              "label": jnp.zeros((1,), jnp.int32)}
+    fresh = initialize_model(probe, sample, jax.random.PRNGKey(3))
+    out = apply_backbone_weight_init(fresh, "virtex", mgr.latest(),
+                                     "resnet18")
+    got = out["params"]["visual"]["cnn"]["conv1"]["kernel"]
+    want = state.params["visual"]["cnn"]["conv1"]["kernel"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+    # the downstream head keeps its fresh init
+    assert "fc" in out["params"]
+
+
+def test_best_metric_survives_resume(tmp_path, trained):
+    """After resume, a worse metric must NOT overwrite checkpoint_best
+    (the rolling-best value rides in the checkpoint)."""
+    _, _, state, _, _ = trained
+    d = str(tmp_path / "ck4")
+    mgr = CheckpointManager(d, keep_recent=5)
+    mgr.step(state, 1, metric=0.9)
+    mgr.wait_until_finished()
+
+    mgr2 = CheckpointManager(d, keep_recent=5)
+    _, it = mgr2.load(mgr2.latest(), state)
+    assert it == 1
+    assert mgr2.best_metric == pytest.approx(0.9)
+    mgr2.step(state, 2, metric=0.5)  # worse — must not become best
+    mgr2.wait_until_finished()
+    _, best_it = load_checkpoint(os.path.join(d, "checkpoint_best"), state)
+    assert best_it == 1
+
+
 def test_del_flushes_pending_best(tmp_path, trained):
     # A caller that never calls wait_until_finished (e.g. a script that
     # simply returns after its last step) still gets the rolling-best copy

@@ -72,6 +72,13 @@ def test_fused_gradients_match_xla():
                                    rtol=5e-4, atol=5e-4)
 
 
+def test_fused_dropout_missing_seed_raises():
+    q, k, v = _rand((B, Tq, N, D), 9), _rand((B, Tq, N, D), 10), _rand(
+        (B, Tq, N, D), 11)
+    with pytest.raises(ValueError, match="dropout_seed"):
+        A.fused_attention(q, k, v, dropout_rate=0.1)
+
+
 def test_fused_dropout_deterministic_given_seed():
     if jax.devices()[0].platform != "tpu":
         pytest.skip("in-kernel PRNG requires a real TPU")

@@ -84,6 +84,23 @@ def main() -> int:
                 err_msg=f"d{name} @ B{B} Tq{Tq} Tk{Tk} N{N} D{D}")
         print(f"B{B} Tq{Tq} Tk{Tk} N{N} D{D} causal={causal}: "
               f"fwd+grad parity OK", flush=True)
+
+    # In-kernel dropout keep-rate: with q = k = 0 attention is uniform
+    # (p = 1/Tk), so E[output] with v = 1 equals actual_keep / nominal_keep.
+    # A signed/unsigned PRNG mix-up (keep ≈ 0.5 − rate instead of 1 − rate)
+    # shows up as a mean far from 1 (measured 0.44 before the fix).
+    B, Tq, Tk, N, D, rate = 8, 128, 128, 8, 32, 0.1
+    z = jnp.zeros((B, Tq, N, D), jnp.float32)
+    zk = jnp.zeros((B, Tk, N, D), jnp.float32)
+    ones = jnp.ones((B, Tk, N, D), jnp.float32)
+    o = jax.jit(lambda: A.fused_attention(
+        z, zk, ones, dropout_rate=rate,
+        dropout_seed=jnp.asarray([42], jnp.int32)))()
+    mean = float(jnp.mean(o))
+    keep = mean * (1.0 - rate)
+    assert abs(mean - 1.0) < 0.02, f"dropout keep-rate off: mean={mean:.4f}"
+    print(f"in-kernel dropout keep fraction @ rate {rate}: {keep:.4f} OK",
+          flush=True)
     print("tpu_attention_parity: PASS")
     return 0
 

@@ -22,6 +22,7 @@ barriers.
 """
 from __future__ import annotations
 
+import logging
 import os
 import re
 import shutil
@@ -33,6 +34,21 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 from virtex_tpu.utils import distributed as dist
+
+_MISSING = object()  # sentinel: template key absent from a checkpoint
+
+
+def _saved_optional_keys(reader: "ocp.StandardCheckpointer",
+                         path: str) -> set:
+    """Which optional top-level entries a checkpoint carries. Round-1
+    checkpoints predate ``loader``/``best_metric``; sniffing the committed
+    metadata lets every generation restore."""
+    try:
+        md = reader.metadata(path)
+        items = md.item_metadata if hasattr(md, "item_metadata") else md
+        return {k for k in ("loader", "best_metric") if k in items}
+    except Exception:
+        return set()
 
 
 def _is_primary() -> bool:
@@ -82,8 +98,17 @@ class CheckpointManager:
         directories are never touched.
         """
         self.wait_until_finished()
+        # Persist the rolling-best metric as it will stand AFTER this
+        # save's deferred flush — otherwise a resumed run starts with
+        # best_metric=None and the first (possibly worse) metric
+        # overwrites checkpoint_best.
+        new_best = self.best_metric
+        if metric is not None and (new_best is None or metric > new_best):
+            new_best = float(metric)
         tree = {"state": state,
                 "iteration": np.asarray(iteration, np.int32),
+                "best_metric": np.asarray(
+                    np.nan if new_best is None else new_best, np.float64),
                 "loader": {"items_consumed": np.asarray(
                     (loader_state or {}).get("items_consumed", 0),
                     np.int64)}}
@@ -154,15 +179,8 @@ class CheckpointManager:
             pass
 
     # -- load ---------------------------------------------------------------
-    def _has_loader_state(self, path: str) -> bool:
-        """Round-1 checkpoints predate the ``loader`` entry; sniff the
-        committed metadata so both generations restore."""
-        try:
-            md = self._reader.metadata(path)
-            items = md.item_metadata if hasattr(md, "item_metadata") else md
-            return "loader" in items
-        except Exception:
-            return False
+    def _saved_keys(self, path: str) -> set:
+        return _saved_optional_keys(self._reader, path)
 
     def load(self, path: str, state_template: Any,
              loader: Optional[Any] = None) -> Tuple[Any, int]:
@@ -175,13 +193,18 @@ class CheckpointManager:
         self.wait_until_finished()
         target = {"state": state_template,
                   "iteration": np.asarray(0, np.int32)}
-        has_loader = self._has_loader_state(path)
-        if has_loader:
+        saved = self._saved_keys(path)
+        if "loader" in saved:
             target["loader"] = {"items_consumed": np.asarray(0, np.int64)}
+        if "best_metric" in saved:
+            target["best_metric"] = np.asarray(np.nan, np.float64)
         tree = self._reader.restore(path, target=target)
-        if loader is not None and has_loader:
+        if loader is not None and "loader" in saved:
             loader.load_state_dict(
                 {"items_consumed": int(tree["loader"]["items_consumed"])})
+        if "best_metric" in saved:
+            bm = float(tree["best_metric"])
+            self.best_metric = None if np.isnan(bm) else bm
         return tree["state"], int(tree["iteration"])
 
 
@@ -197,13 +220,34 @@ def load_model_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     """
     raw = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
     state = raw["state"]
-    out = {}
-    for key in template:
-        sub = state[key]
-        out[key] = jax.tree.map(
-            lambda t, s: jnp.asarray(s).astype(t.dtype) if hasattr(
-                t, "dtype") else s,
-            template[key], sub)
+    missing: List[str] = []
+
+    def merge(tmpl, ckpt, prefix):
+        # Walk the TEMPLATE (not a strict zip): checkpoints from a
+        # different model carry extra subtrees (a pretraining checkpoint
+        # has params.textual where a downstream template has params.fc) —
+        # restore what matches, keep the template's init elsewhere, like
+        # the reference's partial load.
+        if isinstance(tmpl, dict):
+            if not isinstance(ckpt, dict):
+                missing.append(prefix or "<root>")
+                return tmpl
+            return {k: merge(v, ckpt.get(k, _MISSING),
+                             f"{prefix}.{k}" if prefix else k)
+                    for k, v in tmpl.items()}
+        if ckpt is _MISSING:
+            missing.append(prefix)
+            return tmpl
+        return (jnp.asarray(ckpt).astype(tmpl.dtype)
+                if hasattr(tmpl, "dtype") else ckpt)
+
+    out = {key: merge(dict(template[key]), state.get(key, _MISSING), key)
+           for key in template}
+    if missing:
+        logging.getLogger("virtex_tpu").info(
+            f"Partial restore from {path}: kept init for "
+            f"{len(missing)} template keys not in checkpoint "
+            f"(e.g. {missing[:3]})")
     return out
 
 
@@ -262,12 +306,10 @@ def load_checkpoint(path: str, state_template: Any) -> Tuple[Any, int]:
     path = os.path.abspath(path)
     reader = ocp.StandardCheckpointer()
     target = {"state": state_template, "iteration": np.asarray(0, np.int32)}
-    try:
-        md = reader.metadata(path)
-        items = md.item_metadata if hasattr(md, "item_metadata") else md
-        if "loader" in items:
-            target["loader"] = {"items_consumed": np.asarray(0, np.int64)}
-    except Exception:
-        pass
+    saved = _saved_optional_keys(reader, path)
+    if "loader" in saved:
+        target["loader"] = {"items_consumed": np.asarray(0, np.int64)}
+    if "best_metric" in saved:
+        target["best_metric"] = np.asarray(np.nan, np.float64)
     tree = reader.restore(path, target=target)
     return tree["state"], int(tree["iteration"])

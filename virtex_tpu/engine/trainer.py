@@ -127,8 +127,9 @@ def make_eval_step(model) -> Callable:
 
 
 def initialize_model(model, sample_batch, rng,
-                     mesh: Optional[Mesh] = None) -> TrainState:
-    """Init variables, laid out on the mesh: params follow the
+                     mesh: Optional[Mesh] = None) -> Dict[str, Any]:
+    """Init flax variables (``{"params", "batch_stats"}``), laid out on
+    the mesh: params follow the
     tensor-parallel rules of :func:`param_sharding` (no-op when the model
     axis is 1 → fully replicated = pure DP), everything else replicated.
     Optimizer state created from these params inherits their shardings."""

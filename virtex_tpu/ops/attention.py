@@ -62,6 +62,8 @@ def pallas_available() -> bool:
     XLA einsum path."""
     if os.environ.get("VIRTEX_TPU_NO_PALLAS"):
         return False
+    if pltpu is None:  # pallas import failed (jax/libtpu mismatch)
+        return False
     try:
         return jax.devices()[0].platform == "tpu"
     except Exception:
@@ -70,8 +72,16 @@ def pallas_available() -> bool:
 
 def _dropout_mask(shape, seed_ref, b, rate):
     pltpu.prng_seed(seed_ref[0] + b)
-    bits = pltpu.prng_random_bits(shape)
-    return bits.astype(jnp.float32) / jnp.float32(2**32) >= rate
+    # prng_random_bits yields SIGNED int32 on this backend; treating the
+    # bits as unsigned ([0, 2^32) / 2^32 >= rate) silently halves the keep
+    # probability (measured 0.40 instead of 0.90 at rate 0.1 on v5e).
+    # Compare in the integer domain instead: bitcast to int32 (no-op if
+    # already signed) and keep iff the implied u = (bits + 2^31) / 2^32 in
+    # [0, 1) is >= rate — exact, and cheaper than the float division.
+    bits = jax.lax.bitcast_convert_type(pltpu.prng_random_bits(shape),
+                                        jnp.int32)
+    threshold = min(2**31 - 1, round(rate * 2**32 - 2**31))
+    return bits >= jnp.int32(threshold)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, m_ref, seed_ref, o_ref, *,
@@ -203,6 +213,11 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         mask = jnp.ones((B, 1, Tq, Tk), dtype=bool)
     else:
         mask = jnp.broadcast_to(mask, (B, mask.shape[1], Tq, Tk))
+    if dropout_rate > 0.0 and dropout_seed is None:
+        # A silent constant seed would reuse the identical keep-mask every
+        # step/layer — statistically-correlated dropout with no symptom.
+        raise ValueError("fused_attention: dropout_rate > 0 requires "
+                         "dropout_seed")
     seed = (dropout_seed if dropout_seed is not None
             else jnp.zeros((1,), jnp.int32))
     seed = seed.reshape((1,)).astype(jnp.int32)
