@@ -94,6 +94,16 @@ def test_horizontal_flip_swaps_left_right():
     assert (out == img[:, ::-1]).all()
 
 
+def test_horizontal_flip_substring_swap_matches_reference():
+    # The reference swaps SUBSTRINGS (transforms.py:33-36), hitting
+    # "left"/"right" inside words — that quirk is part of the published
+    # training recipe, so it is reproduced exactly.
+    swap = T.HorizontalFlip.swap_words
+    assert swap("left-hand turn") == "right-hand turn"
+    assert swap("a bright kite") == "a bleft kite"  # yes, really
+    assert swap("upright and leftover") == "upleft and rightover"
+
+
 def test_normalize_range():
     img = np.full((4, 4, 3), 255, dtype=np.uint8)
     out, _ = T.Normalize()(img)

@@ -75,16 +75,21 @@ def test_flip_is_mirror():
     np.testing.assert_allclose(a, b[:, ::-1], atol=1e-6)
 
 
-def test_batch_api_and_error_slots():
+def test_batch_api_and_error_raises():
     from virtex_tpu import native
     data, _ = jpeg_bytes(seed=7)
-    rects = np.array([[0, 0, -1, -1], [4, 4, 40, 40], [0, 0, -1, -1]],
-                     np.int32)
+    rects = np.array([[0, 0, -1, -1], [4, 4, 40, 40]], np.int32)
     out = native.batch_decode_transform(
-        [data, data, b"not a jpeg"], rects, np.array([0, 1, 0], np.int32), 24)
-    assert out.shape == (3, 24, 24, 3)
-    assert np.abs(out[0]).sum() > 0
-    assert np.abs(out[2]).sum() == 0  # failed slot zeroed
+        [data, data], rects, np.array([0, 1], np.int32), 24)
+    assert out.shape == (2, 24, 24, 3)
+    assert np.abs(out).sum() > 0
+    # A corrupt JPEG raises, like the per-item path — silently zero-filled
+    # slots would train on black images with real captions.
+    rects3 = np.array([[0, 0, -1, -1]] * 3, np.int32)
+    with pytest.raises(ValueError, match="1/3"):
+        native.batch_decode_transform(
+            [data, data, b"not a jpeg"], rects3,
+            np.array([0, 1, 0], np.int32), 24)
 
 
 def test_native_jitter_matches_numpy_reference(rng):

@@ -16,7 +16,13 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from virtex_tpu.data.datasets._common import image_array
+from virtex_tpu.data.datasets._common import (
+    batch_fetch_supported,
+    image_array,
+    load_image_caption,
+    load_image_caption_batch,
+    make_native_pipeline,
+)
 
 from virtex_tpu.data.readers import CocoCaptionsReader
 from virtex_tpu.data.tokenizers import SentencePieceBPETokenizer
@@ -53,7 +59,6 @@ class CaptioningDataset:
         self.image_transform = image_transform or default_image_transform()
         self.max_caption_length = max_caption_length
 
-        from virtex_tpu.data.datasets._common import make_native_pipeline
         self.native_pipeline = make_native_pipeline(use_native, split,
                                                     crop_size, emit_uint8)
 
@@ -61,7 +66,6 @@ class CaptioningDataset:
         self.sos_id = tokenizer.token_to_id("[SOS]")
         self.eos_id = tokenizer.token_to_id("[EOS]")
         # loader hint: whole-batch fetch pays off only on the OpenMP path
-        from virtex_tpu.data.datasets._common import batch_fetch_supported
         self.supports_batch_fetch = batch_fetch_supported(
             self.native_pipeline)
 
@@ -72,7 +76,6 @@ class CaptioningDataset:
         self, idx: int, rng: Optional[np.random.RandomState] = None
     ) -> Dict[str, np.ndarray]:
         rng = rng or np.random
-        from virtex_tpu.data.datasets._common import load_image_caption
         image_id, image, caption = load_image_caption(
             self._dset, idx, rng, self.image_transform, self.native_pipeline)
 
@@ -95,7 +98,6 @@ class CaptioningDataset:
         """Whole-batch fetch: the native pipeline's OpenMP batch call does
         all pixel work in one C++ pass (the loader prefers this hook when
         present). RNG draws match N single ``__getitem__`` calls exactly."""
-        from virtex_tpu.data.datasets._common import load_image_caption_batch
         if not self.supports_batch_fetch:
             return [self.__getitem__(i, rng=r)
                     for i, r in zip(indices, rngs)]

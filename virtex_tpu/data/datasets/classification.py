@@ -18,7 +18,13 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from virtex_tpu.data.datasets._common import image_array
+from virtex_tpu.data.datasets._common import (
+    batch_fetch_supported,
+    image_array,
+    load_image_caption,
+    load_image_caption_batch,
+    make_native_pipeline,
+)
 
 from virtex_tpu.data.datasets.captioning import pad_stack
 from virtex_tpu.data.readers import CocoCaptionsReader, read_image_rgb
@@ -42,14 +48,12 @@ class TokenClassificationDataset:
         self.tokenizer = tokenizer
         self.image_transform = image_transform or default_image_transform()
         self.max_caption_length = max_caption_length
-        from virtex_tpu.data.datasets._common import make_native_pipeline
         self.native_pipeline = make_native_pipeline(use_native, split,
                                                     crop_size, emit_uint8)
 
         self.padding_idx = tokenizer.token_to_id("<unk>")
         self.sos_id = tokenizer.token_to_id("[SOS]")
         self.eos_id = tokenizer.token_to_id("[EOS]")
-        from virtex_tpu.data.datasets._common import batch_fetch_supported
         self.supports_batch_fetch = batch_fetch_supported(
             self.native_pipeline)
 
@@ -69,14 +73,12 @@ class TokenClassificationDataset:
         self, idx: int, rng: Optional[np.random.RandomState] = None
     ) -> Dict[str, np.ndarray]:
         rng = rng or np.random
-        from virtex_tpu.data.datasets._common import load_image_caption
         image_id, image, caption = load_image_caption(
             self._dset, idx, rng, self.image_transform, self.native_pipeline)
         return self._pack(image_id, image, caption)
 
     def get_batch(self, indices, rngs) -> List[Dict[str, np.ndarray]]:
         """Whole-batch fetch through the OpenMP native pipeline."""
-        from virtex_tpu.data.datasets._common import load_image_caption_batch
         if not self.supports_batch_fetch:
             return [self.__getitem__(i, rng=r)
                     for i, r in zip(indices, rngs)]
@@ -129,7 +131,10 @@ class MultiLabelClassificationDataset:
         # One sample per on-disk jpg that carries at least one instance
         # label; unannotated images are dropped.
         self._samples: List[Tuple[int, str, Tuple[int, ...]]] = []
-        for path in glob.glob(os.path.join(data_root, f"{split}2017", "*.jpg")):
+        # sorted: glob order is filesystem-dependent, and dataset index
+        # order is a determinism contract (sharding + resumable replay).
+        for path in sorted(
+                glob.glob(os.path.join(data_root, f"{split}2017", "*.jpg"))):
             image_id = int(os.path.splitext(os.path.basename(path))[0])
             slots = slots_by_image.get(image_id)
             if slots:

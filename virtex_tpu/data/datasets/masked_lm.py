@@ -15,7 +15,13 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from virtex_tpu.data.datasets._common import image_array
+from virtex_tpu.data.datasets._common import (
+    batch_fetch_supported,
+    image_array,
+    load_image_caption,
+    load_image_caption_batch,
+    make_native_pipeline,
+)
 
 from virtex_tpu.data.datasets.captioning import pad_stack
 from virtex_tpu.data.readers import CocoCaptionsReader
@@ -42,7 +48,6 @@ class MaskedLmDataset:
         self.tokenizer = tokenizer
         self.image_transform = image_transform or default_image_transform()
         self.max_caption_length = max_caption_length
-        from virtex_tpu.data.datasets._common import make_native_pipeline
         self.native_pipeline = make_native_pipeline(use_native, split,
                                                     crop_size, emit_uint8)
 
@@ -55,7 +60,6 @@ class MaskedLmDataset:
         self._mask_proportion = mask_proportion
         self._mask_prob = mask_probability
         self._repl_prob = replace_probability
-        from virtex_tpu.data.datasets._common import batch_fetch_supported
         self.supports_batch_fetch = batch_fetch_supported(
             self.native_pipeline)
 
@@ -66,7 +70,6 @@ class MaskedLmDataset:
         self, idx: int, rng: Optional[np.random.RandomState] = None
     ) -> Dict[str, np.ndarray]:
         rng = rng or np.random
-        from virtex_tpu.data.datasets._common import load_image_caption
         image_id, image, caption = load_image_caption(
             self._dset, idx, rng, self.image_transform, self.native_pipeline)
         return self._mask_and_pack(image_id, image, caption, rng)
@@ -75,7 +78,6 @@ class MaskedLmDataset:
         """Whole-batch fetch through the OpenMP native pipeline; masking
         RNG draws follow each item's pipeline draws, exactly like N single
         ``__getitem__`` calls."""
-        from virtex_tpu.data.datasets._common import load_image_caption_batch
         if not self.supports_batch_fetch:
             return [self.__getitem__(i, rng=r)
                     for i, r in zip(indices, rngs)]

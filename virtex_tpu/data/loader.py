@@ -20,6 +20,7 @@ Replaces the reference's torch ``DataLoader`` + ``DistributedSampler`` + the
 """
 from __future__ import annotations
 
+import inspect
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -135,6 +136,15 @@ class DataLoader:
         # need exact per-item results dedupe by id (duplicates are copies).
         self.pad_final = pad_final and not self.drop_last
         self.collate_fn = collate_fn or dataset.collate_fn
+        # Decide ONCE whether __getitem__ takes the per-item RNG. A
+        # try/except TypeError around the call would also swallow
+        # TypeErrors raised INSIDE the dataset and retry without the rng
+        # (nondeterministic augmentations, masked real errors).
+        try:
+            sig = inspect.signature(dataset.__getitem__)
+            self._getitem_takes_rng = "rng" in sig.parameters
+        except (TypeError, ValueError):
+            self._getitem_takes_rng = False
         self.sampler = ShardedSampler(
             len(dataset), shuffle=shuffle, seed=seed,
             num_shards=num_shards, shard_index=shard_index,
@@ -154,11 +164,10 @@ class DataLoader:
         return self.sampler.items_per_epoch // self.batch_size
 
     def _fetch(self, epoch: int, idx: int):
-        rng = item_rng(self.seed, epoch, idx)
-        try:
-            return self.dataset.__getitem__(idx, rng=rng)
-        except TypeError:
-            return self.dataset[idx]
+        if self._getitem_takes_rng:
+            return self.dataset.__getitem__(
+                idx, rng=item_rng(self.seed, epoch, idx))
+        return self.dataset[idx]
 
     def _fetch_batch(self, pairs):
         """Whole-batch fetch through the dataset's ``get_batch`` hook (one
@@ -218,6 +227,20 @@ class DataLoader:
             # call fans the batch over cores with OpenMP itself.
             pool = (None if batched_fetch
                     else ThreadPoolExecutor(self.num_workers))
+
+            def put_checked(item) -> bool:
+                # Every producer put must poll the stop event: a consumer
+                # that abandons iteration with the queue full would
+                # otherwise leave this thread blocked in put() forever
+                # (leaking it plus up to `prefetch` image batches).
+                while not stop.is_set():
+                    try:
+                        out_q.put(item, timeout=0.5)
+                        return True
+                    except queue.Full:
+                        continue
+                return False
+
             try:
                 try:
                     for pairs in batch_pairs():
@@ -229,16 +252,12 @@ class DataLoader:
                             futures = [pool.submit(self._fetch, e, i)
                                        for e, i in pairs]
                             items = [f.result() for f in futures]
-                        batch = self.collate_fn(items)
-                        while not stop.is_set():
-                            try:
-                                out_q.put((batch, len(pairs)), timeout=0.5)
-                                break
-                            except queue.Full:
-                                continue
-                    out_q.put(None)
+                        if not put_checked((self.collate_fn(items),
+                                            len(pairs))):
+                            return
+                    put_checked(None)
                 except BaseException as e:  # surface worker errors
-                    out_q.put(e)
+                    put_checked(e)
             finally:
                 if pool is not None:
                     pool.shutdown(wait=True)

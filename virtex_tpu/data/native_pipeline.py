@@ -27,6 +27,7 @@ from virtex_tpu.data.transforms import (
     HorizontalFlip,
     IMAGENET_COLOR_MEAN,
     IMAGENET_COLOR_STD,
+    _clamped_center_crop,
 )
 
 
@@ -46,8 +47,11 @@ def sample_random_resized_crop(h: int, w: int, rng,
             y = rng.randint(0, h - ch + 1)
             x = rng.randint(0, w - cw + 1)
             return y, x, ch, cw
-    s = min(h, w)
-    return (h - s) // 2, (w - s) // 2, s, s
+    # torchvision fallback: ratio-clamped center crop (same rule as
+    # transforms._clamped_center_crop; a non-square region resized to the
+    # square output, not the largest square).
+    ch, cw = _clamped_center_crop(h, w, ratio)
+    return (h - ch) // 2, (w - cw) // 2, ch, cw
 
 
 class NativeCaptionTrainPipeline:

@@ -72,10 +72,13 @@ class RandomResizedSquareCrop(Transform):
                 j = rng.randint(0, w - cw + 1)
                 crop = image[i:i + ch, j:j + cw]
                 return _resize(crop, self.size, self.size), caption
-        # Fallback: center crop of the largest valid square.
-        s = min(h, w)
-        i, j = (h - s) // 2, (w - s) // 2
-        return _resize(image[i:i + s, j:j + s], self.size, self.size), caption
+        # Fallback after 10 failed samples: the torchvision/albumentations
+        # rule — a RATIO-CLAMPED center crop (possibly non-square region,
+        # resized to the square output), not the largest square.
+        ch, cw = _clamped_center_crop(h, w, self.ratio)
+        i, j = (h - ch) // 2, (w - cw) // 2
+        return _resize(image[i:i + ch, j:j + cw],
+                       self.size, self.size), caption
 
 
 class CenterSquareCrop(Transform):
@@ -139,10 +142,13 @@ class HorizontalFlip(Transform):
 
     @staticmethod
     def swap_words(caption: str) -> str:
-        return " ".join(
-            "left" if w == "right" else ("right" if w == "left" else w)
-            for w in caption.split()
-        )
+        # SUBSTRING swap, exactly like the reference (transforms.py:33-36):
+        # it hits "left"/"right" anywhere they occur ("left-hand" →
+        # "right-hand", but also "bright" → "bleft"). That quirk is part of
+        # the published training recipe, so it is reproduced, not fixed.
+        return (caption.replace("left", "[TMP]")
+                .replace("right", "left")
+                .replace("[TMP]", "right"))
 
     def __call__(self, image, caption=None, rng=None):
         rng = rng or np.random
@@ -180,7 +186,10 @@ class ColorJitter(Transform):
                 img = img * f
             elif op == 1 and self.contrast > 0:
                 f = rng.uniform(1 - self.contrast, 1 + self.contrast)
-                mean = img.mean()
+                # torchvision/albumentations blend toward the mean of the
+                # GRAYSCALE image (Rec.601), not the all-channel mean.
+                mean = float(np.mean(
+                    img @ np.array([0.299, 0.587, 0.114], np.float32)))
                 img = (img - mean) * f + mean
             elif op == 2 and self.saturation > 0:
                 f = rng.uniform(1 - self.saturation, 1 + self.saturation)
@@ -203,6 +212,21 @@ class Normalize(Transform):
         img = image.astype(np.float32) / 255.0
         img = (img - self.mean) / self.std
         return img, caption
+
+
+def _clamped_center_crop(h: int, w: int,
+                         ratio: Tuple[float, float]) -> Tuple[int, int]:
+    """(crop_h, crop_w) of the torchvision RandomResizedCrop fallback:
+    whole image if its aspect is within ``ratio``, else clamped to the
+    nearest ratio bound."""
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, min(h, int(round(w / ratio[0])))
+    elif in_ratio > ratio[1]:
+        ch, cw = h, min(w, int(round(h * ratio[1])))
+    else:
+        ch, cw = h, w
+    return ch, cw
 
 
 def _resize(image: np.ndarray, w: int, h: int) -> np.ndarray:

@@ -152,13 +152,19 @@ def batch_decode_transform(blobs: Sequence[bytes],
     rects_p = rects.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
     flips_p = flips.ctypes.data_as(ctypes.POINTER(ctypes.c_int))
     if jitters is None:
-        lib.vtx_batch_decode_transform(
+        failed = lib.vtx_batch_decode_transform(
             buf_ptrs, lens, rects_p, flips_p, n, out_size, mean_p, std_p,
             out_p)
     else:
         jit = np.ascontiguousarray(jitters, np.float32)
-        lib.vtx_batch_decode_transform_jitter(
+        failed = lib.vtx_batch_decode_transform_jitter(
             buf_ptrs, lens, rects_p, flips_p,
             jit.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             n, out_size, mean_p, std_p, out_p)
+    if failed:
+        # The C side zero-fills failed slots; raising keeps the batch path
+        # consistent with the per-item path (which raises on a corrupt
+        # JPEG) instead of silently training on black images.
+        raise ValueError(
+            f"native batch decode/transform failed for {failed}/{n} images")
     return out

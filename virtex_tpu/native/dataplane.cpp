@@ -213,9 +213,14 @@ void apply_jitter(float* img, int n_px, const float* jp) {
       float f = jp[5];
       for (int i = 0; i < n_px * 3; ++i) img[i] *= f;
     } else if (op == 1 && jp[6] != 1.f) {
+      // contrast blends toward the GRAYSCALE-image mean (Rec.601), the
+      // torchvision/albumentations rule (and the numpy path's).
       double sum = 0.0;
-      for (int i = 0; i < n_px * 3; ++i) sum += img[i];
-      float mean = float(sum / (n_px * 3));
+      for (int i = 0; i < n_px; ++i) {
+        const float* px = img + i * 3;
+        sum += 0.299 * px[0] + 0.587 * px[1] + 0.114 * px[2];
+      }
+      float mean = float(sum / n_px);
       float f = jp[6];
       for (int i = 0; i < n_px * 3; ++i)
         img[i] = (img[i] - mean) * f + mean;
