@@ -57,10 +57,17 @@ def run_variant(name: str, flags: str, overrides: str, repeat: int) -> dict:
     env["JAX_COMPILATION_CACHE_DIR"] = f"/tmp/jax_cache_sweep_{name}"
     best = None
     for i in range(repeat):
-        proc = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__), "..",
-                                          "bench.py")],
-            env=env, capture_output=True, text=True, timeout=3600)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                              "bench.py")],
+                env=env, capture_output=True, text=True, timeout=3600)
+        except subprocess.TimeoutExpired:
+            # Record the hang like any other failure — an uncaught raise
+            # would abort the sweep with no row, and the resume logic would
+            # retry (and re-wedge on) the same variant forever.
+            return {"name": name, "flags": flags, "overrides": overrides,
+                    "error": "timeout after 3600s"}
         line = None
         for ln in proc.stdout.splitlines():
             if ln.startswith("{"):

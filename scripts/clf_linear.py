@@ -25,7 +25,6 @@ from virtex_tpu.engine import (
     TrainState,
     apply_backbone_weight_init,
     initialize_model,
-    make_eval_step,
     make_train_step,
 )
 from virtex_tpu.factories import (
@@ -58,10 +57,8 @@ def main(_A) -> None:
     num_classes = NUM_CLASSES[dataset_name]
 
     mesh = create_mesh()
-    train_split = "train" if dataset_name == "imagenet" else "train"
-    val_split = "val"
-    train_ds = DownstreamDatasetFactory.from_config(_DOWNC, split=train_split)
-    val_ds = DownstreamDatasetFactory.from_config(_DOWNC, split=val_split)
+    train_ds = DownstreamDatasetFactory.from_config(_DOWNC, split="train")
+    val_ds = DownstreamDatasetFactory.from_config(_DOWNC, split="val")
     per_host = _DOWNC.OPTIM.BATCH_SIZE // dist.get_world_size()
     train_loader = DataLoader(train_ds, per_host, shuffle=True,
                               num_workers=_A.cpu_workers, infinite=True,
@@ -107,7 +104,7 @@ def main(_A) -> None:
     state = TrainState.create(variables["params"], variables["batch_stats"],
                               tx)
     train_step = make_train_step(model, tx, mesh)
-    eval_step = make_eval_step(model)
+    logits_fn = make_logits_fn(model)
 
     ckpt = CheckpointManager(_A.serialization_dir, keep_recent=5)
     timer = Timer(total_iterations=_DOWNC.OPTIM.NUM_ITERATIONS)
@@ -135,7 +132,7 @@ def main(_A) -> None:
                     writer.add_scalar("train/loss", loss, iteration)
             if iteration % _A.checkpoint_every == 0:
                 acc = evaluate(model, state, val_ds, per_host, mesh,
-                               _A.cpu_workers)
+                               _A.cpu_workers, logits_fn=logits_fn)
                 logger.info(f"Val top-1 @ {iteration}: {acc:.2f}")
                 if writer:
                     writer.add_scalar(
@@ -143,7 +140,8 @@ def main(_A) -> None:
                 # collective save: every process participates
                 ckpt.step(state, iteration, metric=acc)
 
-    acc = evaluate(model, state, val_ds, per_host, mesh, _A.cpu_workers)
+    acc = evaluate(model, state, val_ds, per_host, mesh, _A.cpu_workers,
+                   logits_fn=logits_fn)
     logger.info(f"Final {dataset_name} top-1: {acc:.2f}")
     if writer:
         writer.add_scalar(f"metrics/{dataset_name}_top1", acc,
@@ -151,7 +149,32 @@ def main(_A) -> None:
     print(f'{{"metric": "{dataset_name}_top1", "value": {acc:.3f}}}')
 
 
-def evaluate(model, state, val_ds, batch_size, mesh, workers) -> float:
+def make_logits_fn(model):
+    """Built ONCE in main: a fresh ``@jax.jit`` closure per evaluate() call
+    would recompile the full forward every validation sweep."""
+    @jax.jit
+    def logits_fn(state, batch):
+        out = model.apply({"params": state.params,
+                           "batch_stats": state.batch_stats},
+                          batch, train=False)
+        return out["logits"]
+    return logits_fn
+
+
+def _host_rows(x) -> np.ndarray:
+    """This process's rows of a batch-sharded global array, in index order.
+    Multi-host arrays are only partially addressable — a plain device_get
+    would raise; the addressable shards of a ``shard_batch`` output are
+    exactly this host's loader rows (make_array_from_process_local_data)."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(jax.device_get(x))
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+
+def evaluate(model, state, val_ds, batch_size, mesh, workers,
+             logits_fn=None) -> float:
     # Full val split like the reference: the tail batch is PADDED to the
     # static size (keeps shapes mesh-divisible, no recompile) and the
     # duplicate rows are trimmed host-side before scoring.
@@ -161,18 +184,12 @@ def evaluate(model, state, val_ds, batch_size, mesh, workers) -> float:
                         num_shards=dist.get_world_size(),
                         shard_index=dist.get_rank())
     top1 = TopkAccuracy(top_k=1)
-
-    @jax.jit
-    def logits_fn(state, batch):
-        out = model.apply({"params": state.params,
-                           "batch_stats": state.batch_stats},
-                          batch, train=False)
-        return out["logits"]
+    logits_fn = logits_fn or make_logits_fn(model)
 
     remaining = len(val_ds) // dist.get_world_size()
     for batch in loader:
         sharded = shard_batch(batch, mesh)
-        logits = jax.device_get(logits_fn(state, sharded))
+        logits = _host_rows(logits_fn(state, sharded))
         take = min(len(logits), remaining)
         top1(logits[:take], batch["label"][:take])
         remaining -= take

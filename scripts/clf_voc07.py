@@ -69,8 +69,12 @@ def train_test_single_svm(args):
 
 
 def extract_features(model, variables, dataset, batch_size, workers):
+    # pad_final: every image contributes (drop_last would silently compute
+    # the SVMs/mAP on a truncated set); padded tail rows are trimmed below,
+    # and the static batch shape keeps ONE compiled feature program.
     loader = DataLoader(dataset, batch_size, shuffle=False,
-                        num_workers=workers, infinite=False)
+                        num_workers=workers, infinite=False,
+                        drop_last=False, pad_final=True)
 
     @jax.jit
     def feat_fn(variables, images):
@@ -81,7 +85,8 @@ def extract_features(model, variables, dataset, batch_size, workers):
         feats = feat_fn(variables, jax.numpy.asarray(batch["image"]))
         all_feats.append(np.asarray(feats))
         all_labels.append(np.asarray(batch["label"]))
-    return np.concatenate(all_feats), np.concatenate(all_labels)
+    return (np.concatenate(all_feats)[: len(dataset)],
+            np.concatenate(all_labels)[: len(dataset)])
 
 
 def main(_A) -> None:

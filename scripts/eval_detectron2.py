@@ -28,10 +28,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
-import numpy as np
 
 from virtex_tpu.config import Config
-from virtex_tpu.engine import load_model_variables
 from virtex_tpu.factories import VisualBackboneFactory
 from virtex_tpu.modules.visual_backbones import detectron2_backbone_state_dict
 from virtex_tpu.utils.common import common_parser, common_setup
@@ -55,21 +53,18 @@ def infer_resnet_depth(visual_name: str) -> int:
     return 0
 
 
-def init_visual_variables(_C: Config):
-    """Randomly-initialized flax variables for the configured backbone."""
-    visual = VisualBackboneFactory.create(_C.MODEL.VISUAL.NAME, frozen=False)
-    sample = jax.numpy.zeros((1, 224, 224, 3))
-    return visual.init(jax.random.PRNGKey(_C.RANDOM_SEED), sample,
-                       train=False)
-
-
 def gather_backbone_weights(_C: Config, weight_init: str,
                             checkpoint_path=None) -> dict:
     """Assemble the backbone in Detectron2 format for one of the four
     reference init modes (``eval_detectron2.py:177-226``). Always returns
-    the ``{"model", "__author__", "matching_heuristics"}`` dict."""
-    variables = init_visual_variables(_C)
+    the ``{"model", "__author__", "matching_heuristics"}`` dict.
 
+    All four modes flow through the clf scripts' shared
+    :func:`apply_backbone_weight_init` (one conversion code path) via a
+    throwaway probe model whose ``visual`` subtree is the export source.
+    """
+    if weight_init not in ("random", "virtex", "torchvision", "imagenet"):
+        raise ValueError(f"unknown --weight-init {weight_init!r}")
     if weight_init in ("virtex", "torchvision") and not checkpoint_path:
         # Same guard as apply_backbone_weight_init: without a checkpoint
         # these modes fall back to the random init (still exports a valid
@@ -78,48 +73,23 @@ def gather_backbone_weights(_C: Config, weight_init: str,
                        "--checkpoint-path: exporting random init")
         weight_init = "random"
 
-    if weight_init == "virtex":
-        # our orbax full-model checkpoint → visual subtree
-        from virtex_tpu.models.downstream import LinearClassifierModel
-        visual = VisualBackboneFactory.create(_C.MODEL.VISUAL.NAME,
-                                              frozen=False)
-        sample = jax.numpy.zeros((1, 224, 224, 3))
-        probe = LinearClassifierModel(visual=visual, num_classes=2)
-        probe_vars = probe.init(
-            jax.random.PRNGKey(0),
-            {"image": sample,
-             "label": jax.numpy.zeros((1,), jax.numpy.int32)},
-            train=False)
-        template = {"params": probe_vars["params"],
-                    "batch_stats": probe_vars["batch_stats"]}
-        loaded = load_model_variables(checkpoint_path, template)
-        variables = {"params": loaded["params"]["visual"],
-                     "batch_stats": loaded["batch_stats"]["visual"]}
-    elif weight_init == "torchvision":
-        # torch training-script checkpoint (.pth with "state_dict")
-        from virtex_tpu.utils.checkpoint_convert import (
-            convert_resnet,
-            load_torch_checkpoint,
-        )
-        sd = load_torch_checkpoint(checkpoint_path)
-        params, stats = convert_resnet(sd)
-        variables = {"params": {"cnn": params}, "batch_stats": {"cnn": stats}}
-    elif weight_init == "imagenet":
-        # torchvision model-zoo weights (reference sets
-        # MODEL.VISUAL.PRETRAINED=True; needs torchvision + cached weights)
-        import torchvision
+    from virtex_tpu.engine import apply_backbone_weight_init
+    from virtex_tpu.models.downstream import LinearClassifierModel
 
-        from virtex_tpu.utils.checkpoint_convert import convert_resnet
-        arch = _C.MODEL.VISUAL.NAME.split("::")[-1]
-        tv_model = getattr(torchvision.models, arch)(pretrained=True)
-        sd = {k: v.numpy() for k, v in tv_model.state_dict().items()}
-        params, stats = convert_resnet(sd)
-        variables = {"params": {"cnn": params}, "batch_stats": {"cnn": stats}}
-    elif weight_init != "random":
-        raise ValueError(f"unknown --weight-init {weight_init!r}")
-
+    visual = VisualBackboneFactory.create(_C.MODEL.VISUAL.NAME, frozen=False)
+    probe = LinearClassifierModel(visual=visual, num_classes=2)
+    probe_vars = probe.init(
+        jax.random.PRNGKey(_C.RANDOM_SEED),
+        {"image": jax.numpy.zeros((1, 224, 224, 3)),
+         "label": jax.numpy.zeros((1,), jax.numpy.int32)},
+        train=False)
+    variables = {"params": probe_vars["params"],
+                 "batch_stats": probe_vars["batch_stats"]}
+    apply_backbone_weight_init(variables, weight_init, checkpoint_path,
+                               arch=_C.MODEL.VISUAL.NAME.split("::")[-1])
     return detectron2_backbone_state_dict(
-        variables["params"]["cnn"], variables["batch_stats"]["cnn"])
+        variables["params"]["visual"]["cnn"],
+        variables["batch_stats"]["visual"]["cnn"])
 
 
 # --------------------------------------------------------------------------
@@ -284,7 +254,8 @@ if __name__ == "__main__":
              "torchvision = torch .pth from --checkpoint-path; "
              "virtex = our pretrained checkpoint from --checkpoint-path.")
     parser.add_argument("--checkpoint-path", default=None)
-    parser.add_argument("--checkpoint-every", type=int, default=5000)
+    # (--checkpoint-every comes from common_parser; D2's CHECKPOINT_PERIOD
+    # is set from it in build_detectron2_config.)
     parser.add_argument("--output", default=None,
                         help="Path for the exported backbone pickle.")
     parser.add_argument("--resume", action="store_true")

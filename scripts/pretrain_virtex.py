@@ -165,13 +165,16 @@ def main(_A) -> None:
     # resumed runs refetch from the restored stream position.
     batch = (sample if start_iteration == 0
              else shard_batch(next(train_iter), mesh))
+    tracing = False
     with mesh:
         for iteration in range(start_iteration + 1,
                                _C.OPTIM.NUM_ITERATIONS + 1):
             if _A.profile_dir and iteration == start_iteration + 10:
                 jax.profiler.start_trace(_A.profile_dir)
-            if _A.profile_dir and iteration == start_iteration + 20:
+                tracing = True
+            if tracing and iteration == start_iteration + 20:
                 jax.profiler.stop_trace()
+                tracing = False
             timer.tic()
             state, metrics = train_step(state, batch, rng)
             # Overlap: fetch the next host batch while the device step runs.
@@ -229,6 +232,8 @@ def main(_A) -> None:
                     loader_state={"items_consumed":
                                   iteration * per_host_batch})
 
+    if tracing:  # run ended before the 20-step profile window closed
+        jax.profiler.stop_trace()
     if _C.OPTIM.NUM_ITERATIONS % _A.checkpoint_every != 0:
         ckpt_mgr.step(state, _C.OPTIM.NUM_ITERATIONS,
                       loader_state={"items_consumed":

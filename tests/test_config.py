@@ -71,6 +71,15 @@ def test_int_to_float_promotion():
     assert C.OPTIM.LR == 1.0 and isinstance(C.OPTIM.LR, float)
 
 
+def test_scientific_notation_override():
+    # PyYAML alone leaves "1e-4" a string (its float resolver wants a dot);
+    # the reference decodes via literal_eval, which accepts it — so must we.
+    C = Config(override_list=["OPTIM.LR", "1e-4", "OPTIM.WEIGHT_DECAY",
+                              "5E-5"])
+    assert C.OPTIM.LR == pytest.approx(1e-4)
+    assert C.OPTIM.WEIGHT_DECAY == pytest.approx(5e-5)
+
+
 def test_dump_roundtrip(tmp_path):
     C = Config(override_list=["OPTIM.BATCH_SIZE", 128])
     p = tmp_path / "dump.yaml"

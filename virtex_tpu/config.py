@@ -13,6 +13,7 @@ CUDA/AMP/cudnn knobs (``config.py:42-53``).
 """
 from __future__ import annotations
 
+import ast
 import copy
 import io
 import os
@@ -139,7 +140,14 @@ class CfgNode(dict):
 
 
 def _decode_value(value: str) -> Any:
-    """Decode a CLI-override string into a Python value via YAML."""
+    """Decode a CLI-override string into a Python value. literal_eval
+    first — PyYAML's float resolver needs a dot, so ``"1e-4"`` would stay
+    a string (and then fail the type check against a float default); the
+    reference decodes via fvcore's literal_eval for the same reason."""
+    try:
+        return ast.literal_eval(value)
+    except (ValueError, SyntaxError):
+        pass
     try:
         return yaml.safe_load(io.StringIO(value))
     except yaml.YAMLError:
