@@ -27,11 +27,19 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
 def main(iterations: int = 400) -> None:
+    root = pathlib.Path(tempfile.mkdtemp(prefix="quality_proxy_"))
+    try:
+        _run(root, iterations)
+    finally:
+        import shutil
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _run(root: pathlib.Path, iterations: int) -> None:
     from utils_fixtures import LEARNABLE_CLASSES, make_learnable_coco
 
     from virtex_tpu.data.tokenizers import train_tokenizer
 
-    root = pathlib.Path(tempfile.mkdtemp(prefix="quality_proxy_"))
     make_learnable_coco(root)
     captions = [c for _, c in LEARNABLE_CLASSES]
     train_tokenizer(captions * 50, str(root / "tok.model"), vocab_size=120)

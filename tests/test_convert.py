@@ -6,6 +6,9 @@ torchvision's naming convention), convert their state dicts with
 checkpoint_convert, and require the flax modules to reproduce torch's
 outputs on the same inputs (SURVEY §7.2 — the converter is the north-star
 verification artifact)."""
+import os
+import sys
+
 import numpy as np
 import pytest
 import torch
@@ -13,6 +16,8 @@ import torch.nn as tnn
 
 import jax
 import jax.numpy as jnp
+
+from tests.utils_fixtures import dummy_stem_sd
 
 from virtex_tpu.modules.transformer import TransformerDecoder
 from virtex_tpu.utils.checkpoint_convert import (
@@ -144,20 +149,10 @@ def test_full_bottleneck_block_matches_torch():
     with torch.no_grad():
         ref = block(x).numpy().transpose(0, 2, 3, 1)
 
-    # rename to the torchvision "layer1.0.*" convention our converter reads
-    sd = {}
-    for k, v in block.state_dict().items():
-        k = k.replace("downsample.0.", "downsample.0.").replace(
-            "downsample.1.", "downsample.1.")
-        sd[f"layer1.0.{k}"] = v.numpy()
+    # TorchBottleneck already uses torchvision names; just add the prefix.
+    sd = {f"layer1.0.{k}": v.numpy() for k, v in block.state_dict().items()}
     # converter needs the stem too
-    sd.update({
-        "conv1.weight": np.zeros((4, 3, 7, 7), np.float32),
-        "bn1.weight": np.ones(4, np.float32),
-        "bn1.bias": np.zeros(4, np.float32),
-        "bn1.running_mean": np.zeros(4, np.float32),
-        "bn1.running_var": np.ones(4, np.float32),
-    })
+    sd.update(dummy_stem_sd(prefix=""))
     params, stats = convert_resnet(sd)
 
     from virtex_tpu.modules.resnet import Bottleneck
@@ -389,8 +384,6 @@ def test_export_cli_roundtrip(tmp_path):
     """scripts/export_torch_checkpoint.py: orbax checkpoint in → reference
     .pth out, reloadable by our own torch-import path (closing the loop)."""
     import argparse
-    import runpy
-    import sys
 
     import jax
     import jax.numpy as jnp
@@ -427,7 +420,9 @@ def test_export_cli_roundtrip(tmp_path):
     mgr.wait_until_finished()
 
     out_pth = str(tmp_path / "export.pth")
-    sys.path.insert(0, "/root/repo/scripts")
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
     import export_torch_checkpoint as cli
     ns = argparse.Namespace(config=None, config_override=overrides,
                             checkpoint_path=mgr.latest(), output=out_pth,

@@ -91,17 +91,34 @@ def test_beam_search_repetition_penalty():
 
 
 def test_beam_search_reorders_state():
-    """Per-beam KV state must follow its beam through re-ranking: state here
-    counts visits per beam; verify it matches each winning beam's length."""
-    table = np.zeros((V, V), np.float32)
-    table[:, EOS] = -20.0
+    """Per-beam state (the KV-cache stand-in) must follow its beam through
+    re-ranking. The step fn is a SECOND-order Markov model: logprobs come
+    from ``table2[state.prev, last]`` where ``state.prev`` is the token the
+    step fn itself recorded one call earlier — i.e. the beam's true
+    grandparent token ONLY IF the search gathers state along with beams.
+    The table forces a re-rank (the step-0 runner-up owns the winning
+    continuation), and the final step's logprobs depend on the re-ranked
+    beam's own history: a broken gather hands the winner another beam's
+    ``prev`` (row T2[1,0] instead of T2[3,0]) and emits token 3 instead of
+    1."""
+    T2 = np.zeros((V, V, V), np.float32)
+    T2[:, :, EOS] = -20.0
+    T2[0, 0, 1] = 3.0   # step 0 (prev=start): beam0 picks 1 ...
+    T2[0, 0, 3] = 2.9   #                      ... beam1 picks 3
+    T2[0, 3, 0] = 5.0   # runner-up's continuation wins → re-rank to [3, 0]
+    T2[3, 0, 1] = 4.0   # correct history (prev=3, last=0) → emit 1
+    T2[1, 0, 3] = 4.0   # the OTHER beam's history would emit 3 instead
 
-    def step(last_tokens, position, state):
-        return jnp.asarray(table)[last_tokens], {"n": state["n"] + 1.0}
+    def second_order_step(last_tokens, position, state):
+        prev = state["prev"].astype(jnp.int32)
+        logp = jnp.asarray(T2)[prev, last_tokens]
+        return logp, {"prev": last_tokens.astype(jnp.float32)}
 
     bs = AutoRegressiveBeamSearch(eos_index=EOS, max_steps=3, beam_size=2)
-    _, _ = bs.search(jnp.asarray([0]), step,
-                     state={"n": jnp.zeros((2,), jnp.float32)})
+    preds, scores = bs.search(jnp.asarray([0]), second_order_step,
+                              state={"prev": jnp.zeros((2,), jnp.float32)})
+    assert list(np.asarray(preds)[0]) == [3, 0, 1]
+    np.testing.assert_allclose(float(scores[0]), 2.9 + 5.0 + 4.0, rtol=1e-6)
 
 
 def test_nucleus_small_p_is_greedy():

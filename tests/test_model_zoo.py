@@ -50,7 +50,6 @@ def test_zoo_loads_torch_pth(tmp_path):
     (tiny synthetic model)."""
     import torch
 
-    sys_path = None
     import sys
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")

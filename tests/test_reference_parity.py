@@ -24,6 +24,7 @@ try:
 except Exception:  # reference tree not mounted (CI elsewhere)
     HAVE_REFERENCE = False
 
+from tests.utils_fixtures import dummy_stem_sd
 from virtex_tpu.modules.textual_heads import TransformerTextualHead
 from virtex_tpu.utils.checkpoint_convert import convert_virtex_checkpoint
 
@@ -64,13 +65,7 @@ def test_textual_head_logits_match_reference(norm_type):
     # reference state dict lives under "textual."-style names in checkpoints
     sd = {f"textual.{k}": v.numpy() for k, v in ref.state_dict().items()}
     converted = convert_virtex_checkpoint(
-        {**sd,
-         # satisfy the resnet branch with a dummy stem (unused here)
-         "visual.cnn.conv1.weight": np.zeros((4, 3, 7, 7), np.float32),
-         "visual.cnn.bn1.weight": np.ones(4, np.float32),
-         "visual.cnn.bn1.bias": np.zeros(4, np.float32),
-         "visual.cnn.bn1.running_mean": np.zeros(4, np.float32),
-         "visual.cnn.bn1.running_var": np.ones(4, np.float32)},
+        {**sd, **dummy_stem_sd()},  # dummy stem: resnet branch, unused here
         num_layers=L, prenorm=(norm_type == "pre"))
     params = converted["params"]["textual"]
 
@@ -137,12 +132,7 @@ def test_composed_decode_parity_on_converted_weights(norm_type):
     # ours: converted weights through the production captioner pipeline
     sd = {f"textual.{k}": v.numpy() for k, v in ref.state_dict().items()}
     converted = convert_virtex_checkpoint(
-        {**sd,
-         "visual.cnn.conv1.weight": np.zeros((4, 3, 7, 7), np.float32),
-         "visual.cnn.bn1.weight": np.ones(4, np.float32),
-         "visual.cnn.bn1.bias": np.zeros(4, np.float32),
-         "visual.cnn.bn1.running_mean": np.zeros(4, np.float32),
-         "visual.cnn.bn1.running_var": np.ones(4, np.float32)},
+        {**sd, **dummy_stem_sd()},  # dummy stem: resnet branch, unused here
         num_layers=L, prenorm=(norm_type == "pre"))
 
     head = TransformerTextualHead(

@@ -4,6 +4,7 @@ schedules + saved optimizer state + step-keyed RNG folding)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from virtex_tpu.engine import (
     CheckpointManager,
@@ -70,6 +71,8 @@ def test_resume_is_bit_exact(tmp_path):
         s_direct.opt_state, restored.opt_state)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 virtual devices")
 def test_tp_sharded_save_restore(tmp_path):
     """TP=2 on the 8-device CPU mesh: checkpoint sharded params without a
     host gather, restore into the sharded template, shardings preserved."""
@@ -119,6 +122,8 @@ def test_tp_sharded_save_restore(tmp_path):
         assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8,
+                    reason="needs 8 virtual devices")
 def test_restore_across_mesh_shapes(tmp_path):
     """Elasticity: a checkpoint written under one mesh layout restores into
     a template laid out on a DIFFERENT mesh (orbax reshards to the

@@ -90,6 +90,18 @@ def make_fake_imagenet(root, n_classes=3, n_per_class=4, size=(80, 90),
     return root
 
 
+def dummy_stem_sd(c=4, prefix="visual.cnn."):
+    """Minimal conv1/bn1 entries satisfying convert_virtex_checkpoint's
+    resnet branch when a test only cares about the textual head."""
+    return {
+        f"{prefix}conv1.weight": np.zeros((c, 3, 7, 7), np.float32),
+        f"{prefix}bn1.weight": np.ones(c, np.float32),
+        f"{prefix}bn1.bias": np.zeros(c, np.float32),
+        f"{prefix}bn1.running_mean": np.zeros(c, np.float32),
+        f"{prefix}bn1.running_var": np.ones(c, np.float32),
+    }
+
+
 def make_tokenizer(tmp_path, vocab_size=300):
     from virtex_tpu.data.tokenizers import train_tokenizer
     return train_tokenizer(
