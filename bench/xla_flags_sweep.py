@@ -63,9 +63,12 @@ def run_variant(name: str, flags: str, overrides: str, repeat: int) -> dict:
                                               "bench.py")],
                 env=env, capture_output=True, text=True, timeout=3600)
         except subprocess.TimeoutExpired:
-            # Record the hang like any other failure — an uncaught raise
-            # would abort the sweep with no row, and the resume logic would
-            # retry (and re-wedge on) the same variant forever.
+            # Record the hang instead of aborting the whole sweep — but
+            # keep any repeat that already succeeded (a valid measurement
+            # beats an error row, and a non-error row is skipped on
+            # resume instead of re-wedging for another hour).
+            if best is not None:
+                break
             return {"name": name, "flags": flags, "overrides": overrides,
                     "error": "timeout after 3600s"}
         line = None

@@ -155,9 +155,13 @@ def run_detectron2(_C: Config, _A, weights: dict) -> None:
         def __init__(self, cfg, weights):
             super().__init__(cfg)
             if isinstance(weights, str):
-                # resume from a Detectron2 checkpoint path
+                # Resume from a Detectron2 checkpoint path; save_dir makes
+                # resume_or_load("" , resume=True) find OUTPUT_DIR's
+                # last_checkpoint (without it fvcore looks in the CWD and
+                # silently restarts from scratch).
                 self.start_iter = (DetectionCheckpointer(
                     self._trainer.model,
+                    save_dir=cfg.OUTPUT_DIR,
                     optimizer=self._trainer.optimizer,
                     scheduler=self.scheduler,
                 ).resume_or_load(weights, resume=True).get("iteration", -1)

@@ -162,6 +162,32 @@ def test_best_metric_survives_resume(tmp_path, trained):
     assert best_it == 1
 
 
+def test_best_checkpoint_healed_after_crash_before_flush(tmp_path, trained):
+    """Preemption between an async save and its deferred best-copy leaves
+    checkpoint_best one generation stale while the saved best_metric says
+    otherwise; load() must re-copy from the recorded best iteration."""
+    import shutil
+
+    _, _, state, _, _ = trained
+    d = str(tmp_path / "ck5")
+    mgr = CheckpointManager(d, keep_recent=5)
+    mgr.step(state, 1, metric=0.7)
+    mgr.step(state, 2, metric=0.9)   # flushes iter-1 bookkeeping only
+    mgr._ckpt.wait_until_finished()  # iter-2 save commits ...
+    # ... and the process "dies" before the deferred flush: checkpoint_best
+    # still holds iteration 1 (simulate by dropping the pending flush).
+    mgr._pending = None
+    _, held = load_checkpoint(os.path.join(d, "checkpoint_best"), state)
+    assert held == 1
+
+    mgr2 = CheckpointManager(d, keep_recent=5)
+    _, it = mgr2.load(mgr2.latest(), state)
+    assert it == 2 and mgr2.best_metric == pytest.approx(0.9)
+    _, best_it = load_checkpoint(os.path.join(d, "checkpoint_best"), state)
+    assert best_it == 2  # healed from the recorded best iteration
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_del_flushes_pending_best(tmp_path, trained):
     # A caller that never calls wait_until_finished (e.g. a script that
     # simply returns after its last step) still gets the rolling-best copy

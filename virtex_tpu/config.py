@@ -143,7 +143,10 @@ def _decode_value(value: str) -> Any:
     """Decode a CLI-override string into a Python value. literal_eval
     first — PyYAML's float resolver needs a dot, so ``"1e-4"`` would stay
     a string (and then fail the type check against a float default); the
-    reference decodes via fvcore's literal_eval for the same reason."""
+    reference decodes via fvcore's literal_eval for the same reason, and
+    its side effects are therefore shared deliberately ("2,3" → tuple,
+    "'5'" → "5"). The YAML fallback additionally accepts lowercase
+    true/false/null, which literal_eval rejects."""
     try:
         return ast.literal_eval(value)
     except (ValueError, SyntaxError):

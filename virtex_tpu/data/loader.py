@@ -142,9 +142,17 @@ class DataLoader:
         # (nondeterministic augmentations, masked real errors).
         try:
             sig = inspect.signature(dataset.__getitem__)
-            self._getitem_takes_rng = "rng" in sig.parameters
+            self._getitem_takes_rng = any(
+                p.name == "rng" or p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in sig.parameters.values())
         except (TypeError, ValueError):
-            self._getitem_takes_rng = False
+            # Unreadable signature (C extension / proxy): probe once with
+            # the rng kwarg rather than silently dropping determinism.
+            try:
+                dataset.__getitem__(0, rng=item_rng(seed, 0, 0))
+                self._getitem_takes_rng = True
+            except TypeError:
+                self._getitem_takes_rng = False
         self.sampler = ShardedSampler(
             len(dataset), shuffle=shuffle, seed=seed,
             num_shards=num_shards, shard_index=shard_index,

@@ -22,6 +22,7 @@ barriers.
 """
 from __future__ import annotations
 
+import json
 import logging
 import os
 import re
@@ -46,7 +47,8 @@ def _saved_optional_keys(reader: "ocp.StandardCheckpointer",
     try:
         md = reader.metadata(path)
         items = md.item_metadata if hasattr(md, "item_metadata") else md
-        return {k for k in ("loader", "best_metric") if k in items}
+        return {k for k in ("loader", "best_metric", "best_iteration")
+                if k in items}
     except Exception:
         return set()
 
@@ -71,6 +73,7 @@ class CheckpointManager:
         dist.synchronize()
         self.keep_recent = keep_recent
         self.best_metric: Optional[float] = None
+        self.best_iteration: Optional[int] = None
         self.async_save = async_save
         self._ckpt = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
                       if async_save else ocp.StandardCheckpointer())
@@ -102,13 +105,16 @@ class CheckpointManager:
         # save's deferred flush — otherwise a resumed run starts with
         # best_metric=None and the first (possibly worse) metric
         # overwrites checkpoint_best.
-        new_best = self.best_metric
+        new_best, new_best_iter = self.best_metric, self.best_iteration
         if metric is not None and (new_best is None or metric > new_best):
-            new_best = float(metric)
+            new_best, new_best_iter = float(metric), iteration
         tree = {"state": state,
                 "iteration": np.asarray(iteration, np.int32),
                 "best_metric": np.asarray(
                     np.nan if new_best is None else new_best, np.float64),
+                "best_iteration": np.asarray(
+                    -1 if new_best_iter is None else new_best_iter,
+                    np.int32),
                 "loader": {"items_consumed": np.asarray(
                     (loader_state or {}).get("items_consumed", 0),
                     np.int64)}}
@@ -139,14 +145,27 @@ class CheckpointManager:
         if metric is not None and (self.best_metric is None
                                    or metric > self.best_metric):
             self.best_metric = float(metric)
+            self.best_iteration = iteration
             if _is_primary():
-                best = self._path("best")
-                if os.path.exists(best):
-                    shutil.rmtree(best)
-                shutil.copytree(self._path(iteration), best)
+                self._copy_best(iteration)
         if _is_primary():
             self._prune()
         return True
+
+    def _copy_best(self, iteration: int) -> None:
+        """checkpoint_<iteration> → checkpoint_best, plus a sidecar
+        recording WHICH iteration the copy holds (load() uses it to heal a
+        checkpoint_best left stale by a crash between the async save and
+        the deferred flush)."""
+        best = self._path("best")
+        if os.path.exists(best):
+            shutil.rmtree(best)
+        shutil.copytree(self._path(iteration), best)
+        tmp = os.path.join(self.serialization_dir, ".best.json.tmp")
+        with open(tmp, "w") as f:
+            f.write(json.dumps({"iteration": iteration,
+                                "metric": self.best_metric}))
+        os.replace(tmp, os.path.join(self.serialization_dir, "best.json"))
 
     def _numbered(self) -> List[int]:
         out = []
@@ -198,6 +217,8 @@ class CheckpointManager:
             target["loader"] = {"items_consumed": np.asarray(0, np.int64)}
         if "best_metric" in saved:
             target["best_metric"] = np.asarray(np.nan, np.float64)
+        if "best_iteration" in saved:
+            target["best_iteration"] = np.asarray(-1, np.int32)
         tree = self._reader.restore(path, target=target)
         if loader is not None and "loader" in saved:
             loader.load_state_dict(
@@ -205,7 +226,30 @@ class CheckpointManager:
         if "best_metric" in saved:
             bm = float(tree["best_metric"])
             self.best_metric = None if np.isnan(bm) else bm
+        if "best_iteration" in saved:
+            bi = int(tree["best_iteration"])
+            self.best_iteration = None if bi < 0 else bi
+            self._heal_best()
         return tree["state"], int(tree["iteration"])
+
+    def _heal_best(self) -> None:
+        """A preemption between an async save and its deferred flush
+        leaves checkpoint_best one generation stale while the restored
+        best_metric says otherwise — re-copy from the recorded best
+        iteration if that checkpoint still exists."""
+        if self.best_iteration is None:
+            return
+        sidecar = os.path.join(self.serialization_dir, "best.json")
+        try:
+            with open(sidecar) as f:
+                held = json.load(f).get("iteration")
+        except Exception:
+            held = None
+        if (held != self.best_iteration
+                and os.path.isdir(self._path(self.best_iteration))):
+            if _is_primary():
+                self._copy_best(self.best_iteration)
+            dist.synchronize()
 
 
 def load_model_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
@@ -311,5 +355,7 @@ def load_checkpoint(path: str, state_template: Any) -> Tuple[Any, int]:
         target["loader"] = {"items_consumed": np.asarray(0, np.int64)}
     if "best_metric" in saved:
         target["best_metric"] = np.asarray(np.nan, np.float64)
+    if "best_iteration" in saved:
+        target["best_iteration"] = np.asarray(-1, np.int32)
     tree = reader.restore(path, target=target)
     return tree["state"], int(tree["iteration"])

@@ -110,10 +110,22 @@ def ptb_tokenize(caption: str) -> List[str]:
         s = s.replace(raw, f" {tok} ")
     # double quotes → PTB quote pair tokens (both filtered out)
     s = s.replace('"', " '' ")
-    # separate . and , unless a digit follows — PTB's rule keeps 3.5 /
-    # 1,000 AND leading decimals like .22 intact (splitting on
-    # "not between two digits" would strip the dot off ".22")
-    s = re.sub(r"([.,])(?![0-9])", r" \1 ", s)
+    # separate . and , unless number-internal (digit BOTH sides: 3.5,
+    # 1,000) or a leading decimal point (token start + digit after: .22).
+    # A bare "digit follows" rule would glue letter-adjacent punctuation
+    # ("plates,2" staying one token), a "digit both sides" rule would
+    # strip the dot off ".22"; check both neighbors in the ORIGINAL string
+    # (re.sub scans the unmodified input left to right).
+    def _sep_numpunct(m):
+        i, ch = m.start(), m.group(1)
+        prev = m.string[i - 1] if i > 0 else " "
+        nxt = m.string[i + 1] if i + 1 < len(m.string) else " "
+        if prev.isdigit() and nxt.isdigit():
+            return ch
+        if ch == "." and not prev.isalnum() and nxt.isdigit():
+            return ch
+        return f" {ch} "
+    s = re.sub(r"([.,])", _sep_numpunct, s)
     # always-separated symbols ($ 5, 50 %, black & white)
     s = re.sub(r"([;:!?$%&@#*+=<>/\\|~^])", r" \1 ", s)
     # contractions: n't, then 's 're 've 'll 'd 'm; standalone apostrophes
