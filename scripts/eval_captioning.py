@@ -81,10 +81,14 @@ def main(_A) -> None:
                                  prefix_mode=_C.MODEL.DECODER.PREFIX_MODE)
 
     predictions = []
-    for batch in loader:
+    for batch_idx, batch in enumerate(loader):
         images = jax.numpy.asarray(batch["image"])
+        # fold the batch index in: reusing one key would draw identical
+        # sampling noise for every batch (nucleus decoder)
         preds = caption_fn(variables, images,
-                           jax.random.PRNGKey(_C.RANDOM_SEED))
+                           jax.random.fold_in(
+                               jax.random.PRNGKey(_C.RANDOM_SEED),
+                               batch_idx))
         captions = decode_predictions(preds, tokenizer,
                                       eos_index=_C.DATA.EOS_INDEX)
         ids = np.asarray(batch["image_id"])

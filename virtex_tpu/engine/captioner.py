@@ -51,11 +51,17 @@ def make_caption_fn(model, decoder, sos_index: int = 1,
         raise ValueError(f"unknown prefix_mode {prefix_mode!r}")
     rebase = is_beam and prefix_mode == "reference"
 
-    def step_fn(variables, tokens, position, caches):
+    def step_fn(variables, cross, tokens, position, caches):
         if rebase:
             position = jnp.maximum(position - 1, 0)
+        if cross is not None:
+            # Re-attach the beam-invariant cross-attention K/V (closed
+            # over, NOT part of the search state — see caption_fn).
+            caches = [{**sc, **cx} for sc, cx in zip(caches, cross)]
         logits, caches = model.apply(variables, tokens, position, caches,
                                      method="decode_step")
+        if cross is not None:
+            caches = [{"k": c["k"], "v": c["v"]} for c in caches]
         if is_beam:
             return jax.nn.log_softmax(logits.astype(jnp.float32)), caches
         return logits, caches
@@ -63,19 +69,34 @@ def make_caption_fn(model, decoder, sos_index: int = 1,
     def caption_fn(variables, images, rng: Optional[jax.Array] = None):
         grid = model.apply(variables, images, method="encode_visual")
         B = images.shape[0]
-        if is_beam:
-            K = decoder.beam_size
-            # beam-major tiling: image i occupies rows [i*K, (i+1)*K)
-            grid = jnp.repeat(grid, K, axis=0)
+        # Caches are built from the UNTILED grid: visual_projection and the
+        # cross-attention K/V projections run once per image, not once per
+        # beam (they are identical across an image's K beams).
         caches = model.apply(variables, grid, decoder.max_steps,
                              method="init_decode")
         start = jnp.full((B,), sos_index, jnp.int32)
-        bound_step = partial(step_fn, variables)
         if is_beam:
-            preds, _ = decoder.search(start, bound_step, caches)
+            K = decoder.beam_size
+            # beam-major tiling: image i occupies rows [i*K, (i+1)*K).
+            # The cross K/V stay OUT of the search state so the per-step
+            # beam reorder does not gather (B·K, 49, N, D) tensors that
+            # never differ within an image's K rows.
+            cross = [{"ck": jnp.repeat(c["ck"], K, axis=0),
+                      "cv": jnp.repeat(c["cv"], K, axis=0)}
+                     for c in caches]
+            self_caches = [{"k": jnp.repeat(c["k"], K, axis=0),
+                            "v": jnp.repeat(c["v"], K, axis=0)}
+                           for c in caches]
+            preds, _ = decoder.search(
+                start, partial(step_fn, variables, cross), self_caches)
         else:
-            rng = rng if rng is not None else jax.random.PRNGKey(0)
-            preds, _ = decoder.search(start, bound_step, caches, rng)
+            if rng is None:
+                # A silent fixed seed would make "sampling" deterministic
+                # with no symptom; the caller must thread real randomness.
+                raise ValueError(
+                    "nucleus decoding requires an rng (jax.random.PRNGKey)")
+            preds, _ = decoder.search(
+                start, partial(step_fn, variables, None), caches, rng)
         return preds
 
     return jax.jit(caption_fn)

@@ -124,7 +124,8 @@ class SpaceToDepthStem(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(),
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
             (7, 7, c, self.features), jnp.float32)
         k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
         k = k.reshape(4, 2, 4, 2, c, self.features)
@@ -167,7 +168,14 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32)
+        # torchvision's conv init: kaiming_normal(mode='fan_out',
+        # nonlinearity='relu') — std sqrt(2/fan_out). flax's default
+        # lecun_normal (fan_in, ~3x larger std for the stem) would
+        # silently change from-scratch training dynamics vs the
+        # reference (torchvision resnet.py _resnet init).
+        conv = partial(nn.Conv, dtype=self.dtype, param_dtype=jnp.float32,
+                       kernel_init=nn.initializers.variance_scaling(
+                           2.0, 'fan_out', 'normal'))
         norm = partial(SubsampledBatchNorm, use_running_average=not train,
                        momentum=self.bn_momentum, epsilon=self.bn_eps,
                        stat_stride=self.bn_stat_stride,

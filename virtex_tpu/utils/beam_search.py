@@ -8,11 +8,13 @@ predicted token (``beam_search.py:156-157``), EOS-absorbing states
 (``:129-133,168-172``), early stop when every beam ends in EOS
 (``:143-144``).
 
-TPU-native design: everything is fixed-shape. Beams are expanded to B·K from
-step 0 (beams 1..K−1 start at −inf so the first top-k draws K distinct
-continuations of beam 0 — equivalent to the reference's step-0 special case
-at ``beam_search.py:119-127``); early stopping is the while-loop condition
-rather than a Python break; the step callback threads a KV-cache pytree.
+TPU-native design: everything is fixed-shape. Step 0 is PEELED before the
+while_loop: the start token's distribution is evaluated once and its global
+top-K seeds the K beams (the reference's step-0 special case at
+``beam_search.py:119-127``); subsequent steps run per-node top-P → global
+top-K inside the loop. Early stopping is the while-loop condition rather
+than a Python break; the step callback threads a KV-cache pytree that is
+gathered to follow beams through re-ranking.
 """
 from __future__ import annotations
 
