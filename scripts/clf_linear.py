@@ -100,7 +100,8 @@ def main(_A) -> None:
         clip_norm=_DOWNC.OPTIM.CLIP_GRAD_NORM,
         use_lookahead=_DOWNC.OPTIM.LOOKAHEAD.USE,
         lookahead_k=_DOWNC.OPTIM.LOOKAHEAD.STEPS,
-        lookahead_alpha=_DOWNC.OPTIM.LOOKAHEAD.ALPHA)
+        lookahead_alpha=_DOWNC.OPTIM.LOOKAHEAD.ALPHA,
+        frozen_pattern=("visual" if _DOWNC.MODEL.VISUAL.FROZEN else None))
     state = TrainState.create(variables["params"], variables["batch_stats"],
                               tx)
     train_step = make_train_step(model, tx, mesh)

@@ -184,3 +184,31 @@ def test_full_chain_sgd_matches_torch_semantics():
         np.asarray(params["textual"]["transformer"]["layer_0"]["norm1"]
                    ["scale"]),
         t_ns.detach().numpy(), rtol=1e-5)
+
+
+def test_frozen_pattern_zeroes_all_updates():
+    """A frozen backbone must receive NO updates at all — stop_gradient
+    zeroes the grads, but weight decay alone would still shrink the
+    params every step (the reference's requires_grad=False params are
+    skipped by torch SGD entirely)."""
+    params = make_params()
+    sched = make_schedule("none", 100, 0)
+    tx = build_optimizer(params, "sgd", sched, lr=0.01, cnn_lr=0.2,
+                         weight_decay=0.1, momentum=0.9, clip_norm=1e9,
+                         use_lookahead=False, frozen_pattern="cnn")
+    state = tx.init(params)
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+    for _ in range(3):
+        # zero grads = what stop_gradient produces for the frozen subtree
+        grads = jax.tree.map(jnp.zeros_like, params)
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(
+        np.asarray(params["visual"]["cnn"]["conv1"]["kernel"]),
+        before["visual"]["cnn"]["conv1"]["kernel"])
+    # non-frozen params DO decay under the same zero grads
+    assert not np.array_equal(
+        np.asarray(params["textual"]["transformer"]["layer_0"]["self_attn"]
+                   ["query"]["kernel"]),
+        before["textual"]["transformer"]["layer_0"]["self_attn"]["query"]
+        ["kernel"])

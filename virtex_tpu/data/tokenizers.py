@@ -68,7 +68,13 @@ class SentencePieceBPETokenizer:
         return self._tok.encode(text, add_special_tokens=False).ids
 
     def decode(self, token_ids: Iterable[int]) -> str:
-        """Convert token ids back into a caption, skipping special tokens."""
+        """Convert token ids back into a caption, skipping special tokens.
+
+        Deliberate divergence: SentencePiece's ``DecodeIds`` renders
+        ``<unk>`` (id 0) as ``" ⁇ "``; here it is dropped like the other
+        specials — id 0 doubles as the padding index
+        (``build_vocabulary.py:86-96``) and decoders never emit it, so
+        dropping it yields clean captions for padded inputs."""
         ids = [int(t) for t in token_ids if int(t) > MASK_INDEX]
         return self._tok.decode(ids, skip_special_tokens=True).strip()
 

@@ -50,6 +50,16 @@ def make_caption_fn(model, decoder, sos_index: int = 1,
     if prefix_mode not in ("reference", "sos"):
         raise ValueError(f"unknown prefix_mode {prefix_mode!r}")
     rebase = is_beam and prefix_mode == "reference"
+    max_pos = getattr(getattr(model, "textual", None),
+                      "max_caption_length", None)
+    if max_pos is not None and decoder.max_steps > max_pos:
+        # The positional table has max_caption_length rows; beyond it the
+        # embedding gather would silently CLAMP to the last position
+        # (subtly wrong captions, no error — torch raises IndexError).
+        raise ValueError(
+            f"decoder.max_steps={decoder.max_steps} exceeds the positional "
+            f"table ({max_pos} rows); raise DATA.MAX_CAPTION_LENGTH or "
+            "lower MODEL.DECODER.MAX_DECODING_STEPS")
 
     def step_fn(variables, cross, tokens, position, caches):
         if rebase:

@@ -345,6 +345,9 @@ class OptimizerFactory(Factory):
             use_lookahead=_C.OPTIM.LOOKAHEAD.USE,
             lookahead_k=_C.OPTIM.LOOKAHEAD.STEPS,
             lookahead_alpha=_C.OPTIM.LOOKAHEAD.ALPHA,
+            # reference requires_grad=False semantics: a frozen backbone's
+            # params receive NO updates (weight decay included)
+            frozen_pattern="cnn" if _C.MODEL.VISUAL.FROZEN else None,
         )
 
 

@@ -9,18 +9,24 @@ The normalize *apply* fuses into neighbouring elementwise work, but the
 mean/variance reduction is an unavoidable extra pass over the full tensor —
 unless we estimate the statistics from a subsample.
 
-Design: during training, mean/var are computed from every ``stride``-th
-spatial ROW of the activation (``x[:, ::stride]``). Rows are contiguous in
-TPU memory (W×C spans whole HBM transfer chunks), so a row-strided slice
-genuinely skips traffic, unlike a lane-dim (W or C) stride. The gradient of
-the statistics flows only through the sampled rows (autodiff of the slice),
-shrinking the backward stats pass by the same factor. Sample counts stay
-huge: batch 128 at 56×56 with stride 4 still averages over 128·14·56 ≈ 100k
-elements per channel — the same order as the reference's per-GPU BN over
-batch 32 with full spatial extent (the reference trains *unsynced* per-GPU
-BN; SURVEY §7 hard parts). Small feature maps keep more rows via the
-``max(1, min(stride, H // 4))`` clamp (≥4 rows whenever H ≥ 8; the 7×7
-layer4 grid is never subsampled).
+Two sampling schemes (``stat_sample``), both gated on ``stat_stride > 1``:
+
+- ``"batch"`` (the DEFAULT): statistics from the leading ``b // stride``
+  images (clamped to ≥ ``b // 8``) — a contiguous batch prefix, which is
+  exactly the reference's per-GPU sample size when stride = number of
+  GPUs (the reference trains *unsynced* per-GPU BN; SURVEY §7 hard
+  parts).
+- ``"rows"``: every ``stride``-th spatial ROW (``x[:, ::stride]``). Rows
+  are contiguous in TPU memory (W×C spans whole HBM transfer chunks), so
+  the slice genuinely skips traffic, unlike a lane-dim stride. Small
+  feature maps keep more rows via the ``max(1, min(stride, H // 4))``
+  clamp (≥4 rows whenever H ≥ 8; the 7×7 layer4 grid is never
+  subsampled).
+
+In both schemes the gradient of the statistics flows only through the
+sampled slice (autodiff), shrinking the backward stats pass by the same
+factor, and sample counts stay huge (batch 128 at 56² with stride 4:
+~100k elements per channel either way).
 
 With ``stat_stride=1`` this is exactly standard BatchNorm (parity with
 ``flax.linen.BatchNorm`` is unit-tested), which stays the semantic

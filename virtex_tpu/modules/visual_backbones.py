@@ -66,8 +66,11 @@ TorchvisionVisualBackbone = ResNetVisualBackbone
 
 
 def _conv_to_torch(kernel: jnp.ndarray) -> np.ndarray:
-    """flax HWIO conv kernel → torch OIHW."""
-    return np.asarray(jax.device_get(kernel)).transpose(3, 2, 0, 1)
+    """flax HWIO conv kernel → torch OIHW (single shared implementation —
+    a drifting second copy of the layout transpose is a silent-corruption
+    hazard)."""
+    from virtex_tpu.utils.checkpoint_convert import _f_conv
+    return _f_conv(jax.device_get(kernel))
 
 
 def _emit_block(out: Dict[str, np.ndarray], prefix: str,

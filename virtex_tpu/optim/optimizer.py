@@ -144,8 +144,15 @@ def build_optimizer(
     use_lookahead: bool = True,
     lookahead_k: int = 5,
     lookahead_alpha: float = 0.5,
+    frozen_pattern: Optional[str] = None,
 ) -> optax.GradientTransformation:
-    """Assemble the full reference-equivalent optimizer chain."""
+    """Assemble the full reference-equivalent optimizer chain.
+
+    ``frozen_pattern``: params whose path matches get ZERO updates — the
+    reference's ``requires_grad=False`` (torch SGD skips None-grad params
+    entirely). stop_gradient alone is NOT enough: add_decayed_weights
+    would still shrink the frozen weights every step.
+    """
     schedule = schedule or (lambda step: jnp.ones([], jnp.float32))
     mask = decay_mask(params_template, no_decay_pattern)
 
@@ -163,6 +170,11 @@ def build_optimizer(
     else:
         raise ValueError(f"Unknown optimizer {optimizer_name!r}")
     chain.append(scale_by_dual_lr(schedule, lr, cnn_lr, params_template))
+    if frozen_pattern:
+        names = param_path_names(params_template)
+        frozen = jax.tree.map(
+            lambda n: re.search(frozen_pattern, n) is not None, names)
+        chain.append(optax.masked(optax.set_to_zero(), frozen))
     if use_lookahead:
         chain.append(lookahead(lookahead_k, lookahead_alpha))
     return optax.chain(*chain)

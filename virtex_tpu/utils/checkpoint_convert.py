@@ -96,6 +96,17 @@ def convert_transformer_stack(sd: Dict[str, np.ndarray], src: str,
                               num_layers: int, prenorm: bool) -> Dict:
     """torch ``nn.TransformerDecoder`` (``<src>.layers.N.*``) → our
     :class:`TransformerDecoder` params."""
+    # The layer count is enumerable from the keys — a caller-supplied
+    # num_layers smaller than reality would silently drop trained layers
+    # (model-zoo loads would then keep random init for them).
+    present = {int(m.group(1))
+               for k in sd
+               for m in [re.match(rf"{re.escape(src)}\.layers\.(\d+)\.", k)]
+               if m}
+    if present and len(present) != num_layers:
+        raise ValueError(
+            f"checkpoint has {len(present)} decoder layers under "
+            f"{src!r} but num_layers={num_layers} was requested")
     out: Dict[str, Any] = {}
     for i in range(num_layers):
         lsrc = f"{src}.layers.{i}"
@@ -280,9 +291,13 @@ def export_virtex_checkpoint(variables: Dict[str, Any]
     embedding and output duplicate the forward ones, exactly as the
     reference's ``state_dict()`` emits them.
     """
-    params, stats = variables["params"], variables["batch_stats"]
+    # .get: the convert direction accepts textual-only trees (partial
+    # load), so the export direction stays symmetric for them.
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
     out: Dict[str, np.ndarray] = {}
-    if params.get("visual", {}).get("cnn"):
+    if (params.get("visual", {}).get("cnn")
+            and stats.get("visual", {}).get("cnn")):
         out.update(export_resnet(params["visual"]["cnn"],
                                  stats["visual"]["cnn"],
                                  prefix="visual.cnn."))
