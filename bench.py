@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -74,9 +75,15 @@ def main():
             for _ in range(3):  # warmup (compile + first steps)
                 state, metrics = train_step(state, sharded, rng)
             jax.block_until_ready(metrics["loss"])
-        except Exception:
+        except Exception as e:
             if not donate:
                 raise
+            # Surface what actually failed before the (multi-minute)
+            # recompile — an unrelated compile/OOM error should not hide
+            # behind a silent donation retry.
+            print(f"bench: donated build failed ({type(e).__name__}: "
+                  f"{str(e)[:300]}); retrying with donate=False",
+                  file=sys.stderr)
             sharded, state, train_step = build(donate=False)
             for _ in range(3):
                 state, metrics = train_step(state, sharded, rng)

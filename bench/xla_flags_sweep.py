@@ -76,6 +76,10 @@ def run_variant(name: str, flags: str, overrides: str, repeat: int) -> dict:
             if ln.startswith("{"):
                 line = json.loads(ln)
         if line is None:
+            # Mirror the timeout handling: a valid earlier repeat beats an
+            # error row (and keeps the variant skipped on resume).
+            if best is not None:
+                break
             return {"name": name, "flags": flags, "overrides": overrides,
                     "error": (proc.stderr or proc.stdout)[-2000:]}
         if best is None or line["value"] > best["value"]:

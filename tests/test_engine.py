@@ -251,3 +251,31 @@ def test_apply_backbone_weight_init_modes(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out3["params"]["visual"]["cnn"]["conv1"]["kernel"]),
         before)
+
+
+def test_partial_restore_rejects_shape_mismatch(tmp_path, trained):
+    """A checkpoint leaf whose shape differs from the template must be
+    treated as missing (keep the template's init), not silently accepted
+    to explode later inside model.apply."""
+    from virtex_tpu.engine.checkpointing import load_model_variables
+
+    _, _, state, _, _ = trained
+    mgr = CheckpointManager(str(tmp_path / "shp"), keep_recent=1)
+    mgr.step(state, 1)
+    mgr.wait_until_finished()
+
+    template = {"params": jax.tree_util.tree_map(lambda x: x, state.params),
+                "batch_stats": state.batch_stats}
+    # Perturb one template leaf to a different shape: the checkpoint's
+    # (old-shape) value must be skipped and this init kept.
+    new_kernel = jnp.ones((3, 3, 3, 64), jnp.float32)
+    template["params"]["visual"]["cnn"]["conv1"]["kernel"] = new_kernel
+    out = load_model_variables(mgr.latest(), template)
+    got = out["params"]["visual"]["cnn"]["conv1"]["kernel"]
+    assert got.shape == new_kernel.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(new_kernel))
+    # an untouched leaf still restores from the checkpoint
+    np.testing.assert_allclose(
+        np.asarray(out["params"]["visual"]["cnn"]["bn1"]["scale"]),
+        np.asarray(state.params["visual"]["cnn"]["bn1"]["scale"]),
+        rtol=1e-6)

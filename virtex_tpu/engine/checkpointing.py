@@ -237,19 +237,21 @@ class CheckpointManager:
         leaves checkpoint_best one generation stale while the restored
         best_metric says otherwise — re-copy from the recorded best
         iteration if that checkpoint still exists."""
-        if self.best_iteration is None:
-            return
-        sidecar = os.path.join(self.serialization_dir, "best.json")
-        try:
-            with open(sidecar) as f:
-                held = json.load(f).get("iteration")
-        except Exception:
-            held = None
-        if (held != self.best_iteration
-                and os.path.isdir(self._path(self.best_iteration))):
-            if _is_primary():
+        # Only the primary inspects storage and heals; every process then
+        # meets the same unconditional barrier. (Per-process conditionals
+        # on filesystem state could send processes down different paths on
+        # multi-host setups with divergent storage views, hanging resume.)
+        if self.best_iteration is not None and _is_primary():
+            sidecar = os.path.join(self.serialization_dir, "best.json")
+            try:
+                with open(sidecar) as f:
+                    held = json.load(f).get("iteration")
+            except Exception:
+                held = None
+            if (held != self.best_iteration
+                    and os.path.isdir(self._path(self.best_iteration))):
                 self._copy_best(self.best_iteration)
-            dist.synchronize()
+        dist.synchronize()
 
 
 def load_model_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
@@ -282,8 +284,18 @@ def load_model_variables(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
         if ckpt is _MISSING:
             missing.append(prefix)
             return tmpl
-        return (jnp.asarray(ckpt).astype(tmpl.dtype)
-                if hasattr(tmpl, "dtype") else ckpt)
+        if not hasattr(tmpl, "dtype"):
+            return ckpt
+        arr = jnp.asarray(ckpt)
+        if (hasattr(tmpl, "shape") and hasattr(arr, "shape")
+                and tuple(tmpl.shape) != tuple(arr.shape)):
+            # A silently accepted shape mismatch only surfaces later as a
+            # confusing model.apply error — treat like a missing leaf and
+            # keep the template's init.
+            missing.append(f"{prefix} (shape {tuple(arr.shape)} != "
+                           f"template {tuple(tmpl.shape)})")
+            return tmpl
+        return arr.astype(tmpl.dtype)
 
     out = {key: merge(dict(template[key]), state.get(key, _MISSING), key)
            for key in template}
