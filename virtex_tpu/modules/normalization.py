@@ -45,6 +45,8 @@ from typing import Any, Callable
 import jax.numpy as jnp
 from flax import linen as nn
 
+from virtex_tpu.ops import batchnorm
+
 Dtype = Any
 
 
@@ -90,6 +92,28 @@ class SubsampledBatchNorm(nn.Module):
         if self.use_running_average:
             mean = ra_mean.value
             var = ra_var.value
+        elif (self.stat_stride == 1 and x.ndim == 4
+              and self.use_scale and self.use_bias
+              and batchnorm.bn_kernel_enabled()
+              and batchnorm.bn_backward_shape_supported(x.shape)):
+            # Exact BN via the custom-VJP op: identical jnp forward (still
+            # conv-co-fused by XLA), analytic backward with the dβ/dγ
+            # channel reductions fused into one Pallas pass
+            # (ops/batchnorm.py; reference gets cuDNN's fused BN-grad,
+            # virtex/modules/visual_backbones.py:43).
+            scale = self.param("scale", self.scale_init, (features,),
+                               self.param_dtype)
+            bias = self.param("bias", self.bias_init, (features,),
+                              self.param_dtype)
+            y, mean, var = batchnorm.bn_train(x, scale, bias,
+                                              float(self.epsilon),
+                                              self.dtype)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * var)
+            return y
         else:
             sample = x
             if x.ndim == 4 and self.stat_stride > 1:
