@@ -29,6 +29,7 @@ from virtex_tpu.factories import (
     PretrainingModelFactory,
     TokenizerFactory,
 )
+from virtex_tpu.parallel import create_mesh
 from virtex_tpu.utils.common import common_parser, common_setup
 from virtex_tpu.utils.metrics import CocoCaptionsEvaluator
 
@@ -38,6 +39,19 @@ logger = logging.getLogger("virtex_tpu")
 def main(_A) -> None:
     _C = Config(_A.config, _A.config_override)
     common_setup(_C, _A, job_type="eval_captioning")
+
+    # Decode is per-image independent → pure data parallelism over every
+    # available chip, transparently (the reference is single-GPU here,
+    # eval_captioning.py:114-115). One device → the plain jit path.
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        if _A.batch_size % n_dev:
+            raise SystemExit(
+                f"--batch-size {_A.batch_size} must be divisible by the "
+                f"{n_dev} devices (each batch is split evenly across them)")
+        mesh = create_mesh(data=n_dev, model=1)
+        logger.info(f"Decoding data-parallel over {n_dev} devices")
 
     tokenizer = TokenizerFactory.from_config(_C)
     if _A.data_root:
@@ -78,7 +92,8 @@ def main(_A) -> None:
         variables = load_model_variables(_A.checkpoint_path, template)
 
     caption_fn = make_caption_fn(model, decoder, sos_index=_C.DATA.SOS_INDEX,
-                                 prefix_mode=_C.MODEL.DECODER.PREFIX_MODE)
+                                 prefix_mode=_C.MODEL.DECODER.PREFIX_MODE,
+                                 mesh=mesh)
 
     predictions = []
     for batch_idx, batch in enumerate(loader):

@@ -20,7 +20,7 @@ from virtex_tpu.utils.beam_search import AutoRegressiveBeamSearch
 
 
 def make_caption_fn(model, decoder, sos_index: int = 1,
-                    prefix_mode: str = "reference"):
+                    prefix_mode: str = "reference", mesh=None):
     r"""Build a jittable ``(variables, images[, rng]) -> predictions`` fn.
 
     ``model`` must expose ``encode_visual`` / ``init_decode`` /
@@ -28,6 +28,14 @@ def make_caption_fn(model, decoder, sos_index: int = 1,
     :class:`virtex_tpu.models.captioning.CaptioningModel`).
     Returns token id arrays (B, max_steps); the SOS prefix is excluded
     (reference contract, ``beam_search.py:232-238``).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the compiled search then
+    runs SPMD with images (and every per-image decode tensor) sharded over
+    the ``data`` axis and variables replicated. Decoding is per-image
+    independent (eval-mode BN, row-local searches), so outputs are
+    identical to the single-device path. The reference evaluates captions
+    on ONE GPU only (``eval_captioning.py:114-115``); this is a TPU-native
+    improvement like the KV cache.
 
     ``prefix_mode`` (beam search only; config ``MODEL.DECODER.PREFIX_MODE``):
 
@@ -109,7 +117,32 @@ def make_caption_fn(model, decoder, sos_index: int = 1,
                 start, partial(step_fn, variables, None), caches, rng)
         return preds
 
-    return jax.jit(caption_fn)
+    if mesh is None:
+        return jax.jit(caption_fn)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    data_axes = mesh.shape.get("data", 1)
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+
+    jitted = jax.jit(caption_fn,
+                     in_shardings=(repl, data_sh, repl),
+                     out_shardings=data_sh)
+
+    def sharded_caption_fn(variables, images, rng=None):
+        if images.shape[0] % data_axes:
+            raise ValueError(
+                f"batch {images.shape[0]} not divisible by the mesh's "
+                f"data axis ({data_axes}); pick a batch size that tiles")
+        if rng is None:
+            if not is_beam:  # keep the inner guard's semantics
+                raise ValueError(
+                    "nucleus decoding requires an rng (jax.random.PRNGKey)")
+            rng = jax.random.PRNGKey(0)  # traced but unused by beam search
+        with mesh:
+            return jitted(variables, images, rng)
+
+    return sharded_caption_fn
 
 
 def decode_predictions(tokens, tokenizer, eos_index: int = 2) -> list:
