@@ -76,3 +76,59 @@ def test_zoo_loads_torch_pth(tmp_path):
     got = variables["params"]["textual"]["visual_projection"]["kernel"]
     want = head.visual_projection.weight.detach().numpy().T
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_fetch_file_url_cache_and_checksum(tmp_path):
+    """URL fetch path (reference's Dropbox download, model_zoo.py:96-103):
+    file:// exercises download+cache+checksum offline; https shares the
+    same code path."""
+    import hashlib
+
+    from virtex_tpu.model_zoo.model_zoo import fetch
+
+    src = tmp_path / "weights.pth"
+    src.write_bytes(b"fake-checkpoint-bytes")
+    sha = hashlib.sha256(src.read_bytes()).hexdigest()
+    cache = tmp_path / "cache"
+    url = f"file://{src}"
+
+    got = fetch(url, sha256=sha, cache_dir=str(cache))
+    assert os.path.exists(got)
+    assert open(got, "rb").read() == b"fake-checkpoint-bytes"
+
+    # cache hit: same path, no re-download even if the source disappears
+    src.unlink()
+    assert fetch(url, sha256=sha, cache_dir=str(cache)) == got
+
+    # checksum mismatch removes the cached file and raises
+    with pytest.raises(RuntimeError, match="checksum mismatch"):
+        fetch(url, sha256="0" * 64, cache_dir=str(cache))
+    assert not os.path.exists(got)
+
+
+def test_fetch_sha256_fragment(tmp_path):
+    import hashlib
+
+    from virtex_tpu.model_zoo.model_zoo import fetch
+
+    src = tmp_path / "w.pth"
+    src.write_bytes(b"abc123")
+    sha = hashlib.sha256(b"abc123").hexdigest()
+    got = fetch(f"file://{src}#sha256={sha}", cache_dir=str(tmp_path / "c"))
+    assert open(got, "rb").read() == b"abc123"
+    with pytest.raises(RuntimeError, match="checksum"):
+        fetch(f"file://{src}#sha256={'f' * 64}",
+              cache_dir=str(tmp_path / "c2"))
+
+
+def test_zoo_dir_url_resolution(tmp_path, monkeypatch):
+    """$VIRTEX_TPU_ZOO_DIR may be an URL base: '<base>/<name>.pth' is
+    fetched through the cache."""
+    from virtex_tpu.model_zoo.model_zoo import _zoo_checkpoint_path
+
+    (tmp_path / "bicaptioning_R_50_L1_H512.pth").write_bytes(b"zoo")
+    monkeypatch.setenv("VIRTEX_TPU_ZOO_DIR", f"file://{tmp_path}")
+    monkeypatch.setenv("VIRTEX_TPU_CACHE_DIR", str(tmp_path / "cache"))
+    p = _zoo_checkpoint_path(os.path.join(
+        _configs_root(), "width_ablations/bicaptioning_R_50_L1_H512.yaml"))
+    assert open(p, "rb").read() == b"zoo"

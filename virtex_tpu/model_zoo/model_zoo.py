@@ -20,6 +20,8 @@ from virtex_tpu.config import Config
 from virtex_tpu.factories import PretrainingModelFactory
 
 ZOO_DIR_ENV = "VIRTEX_TPU_ZOO_DIR"
+CACHE_DIR_ENV = "VIRTEX_TPU_CACHE_DIR"
+_URL_SCHEMES = ("https://", "http://", "file://")
 
 # config path (relative to configs/) → zoo checkpoint basename.
 # Mirrors the 16 zoo entries over 4 ablation families
@@ -110,8 +112,64 @@ def get(config_path: str, pretrained: bool = False,
 
     if pretrained:
         path = checkpoint_path or _zoo_checkpoint_path(config_path)
+        if isinstance(path, str) and path.startswith(_URL_SCHEMES):
+            path = fetch(path)
         variables = _load_weights(path, variables, _C)
     return model, variables, _C
+
+
+def fetch(url: str, sha256: Optional[str] = None,
+          cache_dir: Optional[str] = None) -> str:
+    """Download ``url`` to the local cache (once) and return the file path
+    — the networked-host equivalent of the reference's Dropbox fetch
+    (``model_zoo.py:96-103``, via fvcore's download+cache).
+
+    A ``#sha256=<hex>`` URL fragment (or the ``sha256`` argument) is
+    verified after download AND on every cache hit; mismatches delete the
+    file and raise. ``file://`` URLs are supported (tests, air-gapped
+    mirrors)."""
+    import hashlib
+    import urllib.parse
+    import urllib.request
+
+    parsed = urllib.parse.urlparse(url)
+    if parsed.fragment.startswith("sha256="):
+        sha256 = parsed.fragment[len("sha256="):]
+        url = url.split("#", 1)[0]
+    cache_dir = cache_dir or os.environ.get(CACHE_DIR_ENV) or os.path.join(
+        os.path.expanduser("~"), ".cache", "virtex_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    # unique per-URL cache name (two zoo mirrors may share basenames)
+    digest = hashlib.sha256(url.encode()).hexdigest()[:16]
+    target = os.path.join(cache_dir,
+                          f"{digest}_{os.path.basename(parsed.path)}")
+
+    def _check(path: str) -> None:
+        if not sha256:
+            return
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        if h.hexdigest() != sha256:
+            os.remove(path)
+            raise RuntimeError(
+                f"checksum mismatch for {url}: expected {sha256}, "
+                f"got {h.hexdigest()} (corrupt download removed)")
+
+    if os.path.exists(target):
+        _check(target)
+        return target
+    tmp = target + ".part"
+    with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+        while True:
+            chunk = r.read(1 << 20)
+            if not chunk:
+                break
+            f.write(chunk)
+    os.replace(tmp, target)
+    _check(target)
+    return target
 
 
 def _zoo_checkpoint_path(config_path: str) -> str:
@@ -119,11 +177,14 @@ def _zoo_checkpoint_path(config_path: str) -> str:
     if not zoo_dir:
         raise RuntimeError(
             f"pretrained=True needs ${ZOO_DIR_ENV} pointing at a directory "
-            "of zoo checkpoints (orbax dirs or reference .pth files).")
+            "of zoo checkpoints (orbax dirs or reference .pth files), or "
+            "an http(s):// base URL hosting '<name>.pth' files.")
     rel = os.path.relpath(config_path, _configs_root())
     base = _MODEL_ZOO_CONFIGS.get(rel.replace(os.sep, "/"))
     if base is None:
         base = os.path.splitext(os.path.basename(config_path))[0]
+    if zoo_dir.startswith(_URL_SCHEMES):
+        return fetch(f"{zoo_dir.rstrip('/')}/{base}.pth")
     for cand in (os.path.join(zoo_dir, base),
                  os.path.join(zoo_dir, base + ".pth")):
         if os.path.exists(cand):
