@@ -101,9 +101,28 @@ def ptb_tokenize(caption: str) -> List[str]:
     - contractions split off (``do n't``, ``dog 's``); assimilations split
       (``gon na``); hyphenated words stay whole;
     - ``$``/``%``/``&``/``@`` are kept as separate tokens;
-    - quotes, ellipses and standalone punctuation are dropped.
+    - quotes, ellipses and standalone punctuation are dropped;
+    - unicode punctuation is normalized first, the JAR's ptb3Escaping
+      behavior: curly quotes → PTB quote tokens (an apostrophe-like ``’``
+      becomes ``'`` BEFORE contraction handling, so ``dog’s`` still splits
+      to ``dog 's``), en/em/horizontal-bar dashes → ``--``, ``…`` →
+      ``...``, non-breaking space → space, unicode currency signs
+      separated like ``$``.
     """
     s = caption.strip().replace("\n", " ")
+    # -- unicode normalization (CoreNLP ptb3Escaping defaults) ------------
+    s = (s.replace("\u00a0", " ")                    # nbsp
+         .replace("‘", "`").replace("’", "'")   # ‘ ’
+         .replace("“", " `` ").replace("”", " '' ")  # “ ”
+         .replace("„", " `` ").replace("‟", " '' ")  # „ ‟
+         .replace("–", " -- ").replace("—", " -- ")  # – —
+         .replace("―", " -- ")                  # ―
+         .replace("…", " ... "))                # …
+    # backtick quotes: `` pair then single ` (PTB open-quote tokens)
+    s = re.sub(r"``", " `` ", s)
+    s = re.sub(r"`(?!`)", " ` ", s)
+    # unicode currency signs behave like $
+    s = re.sub(r"([¢£¥€])", r" \1 ", s)
     # ellipses → the PTB "..." token (dropped by the filter below)
     s = re.sub(r"\.\.\.+", " ... ", s)
     for raw, tok in _BRACKETS.items():
@@ -125,9 +144,23 @@ def ptb_tokenize(caption: str) -> List[str]:
         if ch == "." and not prev.isalnum() and nxt.isdigit():
             return ch
         return f" {ch} "
+    # dotted acronyms/abbreviations stay whole like the JAR's PTBLexer
+    # ("u.s.", "p.m.", "i.e."): letter-dot repeated, optional final letter.
+    # Protect their dots through the separation passes below.
+    s = re.sub(r"\b(?:[A-Za-z]\.){2,}[A-Za-z]?(?!\w)",
+               lambda m: m.group(0).replace(".", "\x00"), s)
     s = re.sub(r"([.,])", _sep_numpunct, s)
+    # digit:digit times/ratios stay whole ("7:30", "3:2") — PTBLexer
+    # recognizes them as single tokens; other colons separate.
+    def _sep_colon(m):
+        i = m.start()
+        prev = m.string[i - 1] if i > 0 else " "
+        nxt = m.string[i + 1] if i + 1 < len(m.string) else " "
+        return ":" if prev.isdigit() and nxt.isdigit() else " : "
+    s = re.sub(r":", _sep_colon, s)
     # always-separated symbols ($ 5, 50 %, black & white)
-    s = re.sub(r"([;:!?$%&@#*+=<>/\\|~^])", r" \1 ", s)
+    s = re.sub(r"([;!?$%&@#*+=<>/\\|~^])", r" \1 ", s)
+    s = s.replace("\x00", ".")
     # contractions: n't, then 's 're 've 'll 'd 'm; standalone apostrophes
     s = re.sub(r"\b(\w+)(n't)\b", r"\1 \2", s, flags=re.I)
     s = re.sub(r"(\w)('s|'re|'ve|'ll|'d|'m)\b", r"\1 \2", s, flags=re.I)
