@@ -133,7 +133,7 @@ def main(_A) -> None:
     state = place_state(state, mesh)
 
     train_step = make_train_step(model, tx, mesh)
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, mesh)
 
     ckpt_mgr = CheckpointManager(_A.serialization_dir, keep_recent=100)
     start_iteration = 0

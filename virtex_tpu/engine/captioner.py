@@ -139,7 +139,8 @@ def make_caption_fn(model, decoder, sos_index: int = 1,
                 raise ValueError(
                     "nucleus decoding requires an rng (jax.random.PRNGKey)")
             rng = jax.random.PRNGKey(0)  # traced but unused by beam search
-        with mesh:
+        from virtex_tpu.ops._mesh import kernel_mesh
+        with mesh, kernel_mesh(mesh):
             return jitted(variables, images, rng)
 
     return sharded_caption_fn

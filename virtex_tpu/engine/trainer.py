@@ -25,6 +25,7 @@ import optax
 from jax.sharding import Mesh
 
 from virtex_tpu.engine.train_state import TrainState
+from virtex_tpu.ops._mesh import wrap_step_fn
 from virtex_tpu.parallel.mesh import param_sharding, replicated
 
 
@@ -105,10 +106,13 @@ def make_train_step(model, tx: optax.GradientTransformation,
     if donate is None:
         donate = donation_supported()
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    # kernel_mesh: Pallas kernels traced inside see the mesh and shard_map
+    # themselves accordingly (ops/_mesh.py).
+    return wrap_step_fn(jax.jit(train_step, donate_argnums=donate_argnums),
+                        mesh)
 
 
-def make_eval_step(model) -> Callable:
+def make_eval_step(model, mesh: Optional[Mesh] = None) -> Callable:
     """Validation step: loss components on a fixed state (no dropout, BN in
     inference mode). Mean over hosts/devices happens inside jit via the
     sharded batch — replaces ``average_across_processes``
@@ -123,7 +127,7 @@ def make_eval_step(model) -> Callable:
             metrics[k] = v.astype(jnp.float32)
         return metrics
 
-    return jax.jit(eval_step)
+    return wrap_step_fn(jax.jit(eval_step), mesh)
 
 
 def initialize_model(model, sample_batch, rng,

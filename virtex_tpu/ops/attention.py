@@ -222,7 +222,37 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             else jnp.zeros((1,), jnp.int32))
     seed = seed.reshape((1,)).astype(jnp.int32)
     scale = 1.0 / (D ** 0.5)
-    return _fused_sdpa(q, k, v, mask, seed, scale, float(dropout_rate))
+    rate = float(dropout_rate)
+
+    # Under an active kernel mesh (>1 device) the kernel must be wrapped
+    # in shard_map with the real activation layout — batch on 'data',
+    # heads on 'model' (pallas has no SPMD rules; see ops/_mesh.py).
+    # Attention is independent per (batch, head), so per-shard execution
+    # is exact; only the in-kernel dropout stream needs a per-shard seed
+    # offset (local program ids repeat across shards).
+    from virtex_tpu.ops._mesh import active_mesh, mesh_axes
+    data_par, model_par = mesh_axes()
+    if (data_par * model_par > 1 and B % data_par == 0
+            and N % model_par == 0
+            and (mask.shape[1] == 1 or mask.shape[1] % model_par == 0)):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        qspec = P("data", None, "model", None)
+        mspec = P("data", "model" if mask.shape[1] == N else None,
+                  None, None)
+
+        def body(q, k, v, mask, seed):
+            if rate > 0.0:
+                idx = (jax.lax.axis_index("data") * model_par
+                       + jax.lax.axis_index("model"))
+                seed = seed + idx * jnp.int32(1000003)
+            return _fused_sdpa(q, k, v, mask, seed, scale, rate)
+
+        return shard_map(body, mesh=active_mesh(),
+                         in_specs=(qspec, qspec, qspec, mspec, P()),
+                         out_specs=qspec, check_vma=False)(
+            q, k, v, mask, seed)
+    return _fused_sdpa(q, k, v, mask, seed, scale, rate)
 
 
 def xla_attention(q, k, v, mask=None):

@@ -99,7 +99,16 @@ def _plan(M: int, C: int) -> Optional[Tuple[int, int, int]]:
 
 
 def bn_backward_shape_supported(shape) -> bool:
-    """True when the fused reduce kernel can tile this NHWC shape."""
+    """True when the fused reduce kernel can tile this NHWC shape — the
+    PER-SHARD shape when a kernel mesh is active (batch sharded over
+    'data', see ops/_mesh.py)."""
+    from virtex_tpu.ops._mesh import mesh_axes
+    data_par, _ = mesh_axes()
+    shape = tuple(shape)
+    if data_par > 1:
+        if shape[0] % data_par:
+            return False
+        shape = (shape[0] // data_par,) + shape[1:]
     C = shape[-1]
     M = 1
     for s in shape[:-1]:
@@ -125,24 +134,12 @@ def _reduce_kernel(dy_ref, x_ref, mv_ref, out_ref):
     out_ref[...] += jnp.concatenate([db, dg], axis=0)
 
 
-def bn_backward_sums(dy: jnp.ndarray, x: jnp.ndarray, mean: jnp.ndarray,
-                     rstd: jnp.ndarray, *, interpret: bool = False
-                     ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Fused (dβ, dγ) = (Σ dy, Σ dy·x̂) over all but the channel axis.
-
-    One Pallas pass reading ``dy`` and ``x`` once. Returns float32 (C,)
-    pairs, or None when the shape doesn't tile (caller falls back to XLA).
-    """
-    if pltpu is None and not interpret:
-        return None
+def _sums_call(dy, x, mean, rstd, interpret: bool) -> jnp.ndarray:
+    """One fused Pallas pass over (this shard of) dy and x → (2, C) f32
+    ``[Σ dy; Σ dy·x̂]``. Caller guarantees the shape tiles (``_plan``)."""
     C = x.shape[-1]
-    M = 1
-    for s in x.shape[:-1]:
-        M *= s
-    plan = _plan(M, C)
-    if plan is None:
-        return None
-    fold, bm, c_eff = plan
+    M = x.size // C
+    fold, bm, c_eff = _plan(M, C)
     m_eff = M // fold
 
     dy2 = dy.reshape(m_eff, c_eff)
@@ -162,6 +159,43 @@ def bn_backward_sums(dy: jnp.ndarray, x: jnp.ndarray, mean: jnp.ndarray,
     )(dy2, x2, mv)
     if fold > 1:
         sums = sums.reshape(2, fold, C).sum(axis=1)
+    return sums
+
+
+def bn_backward_sums(dy: jnp.ndarray, x: jnp.ndarray, mean: jnp.ndarray,
+                     rstd: jnp.ndarray, *, interpret: bool = False
+                     ) -> Optional[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Fused (dβ, dγ) = (Σ dy, Σ dy·x̂) over all but the channel axis.
+
+    One Pallas pass reading ``dy`` and ``x`` once. Returns float32 (C,)
+    pairs, or None when the shape doesn't tile (caller falls back to XLA).
+
+    Under an active kernel mesh (ops/_mesh.py) with >1 'data' shard the
+    pass runs per shard inside ``shard_map`` and the partial sums are
+    ``psum``-reduced over 'data' — pallas has no SPMD rules, so without
+    this the reductions would be per-shard (wrong) or gathered (slow).
+    """
+    if pltpu is None and not interpret:
+        return None
+    if not bn_backward_shape_supported(x.shape):
+        return None
+
+    from virtex_tpu.ops._mesh import active_mesh, mesh_axes
+    data_par, _ = mesh_axes()
+    if data_par > 1:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def body(dy, x, mean, rstd):
+            return jax.lax.psum(_sums_call(dy, x, mean, rstd, interpret),
+                                "data")
+
+        sums = shard_map(body, mesh=active_mesh(),
+                         in_specs=(P("data"), P("data"), P(), P()),
+                         out_specs=P(), check_vma=False)(
+            dy, x, mean.astype(jnp.float32), rstd.astype(jnp.float32))
+    else:
+        sums = _sums_call(dy, x, mean, rstd, interpret)
     return sums[0], sums[1]
 
 
