@@ -83,6 +83,15 @@ def main(n=300):
         results["native_batch_img_per_sec"] = round(
             n / (time.perf_counter() - t0), 1)
 
+    # Feed margin vs the measured device demand (bench.py, v5e-1): how
+    # many host cores must run the whole-batch native path to keep the
+    # chip fed. Per-core figure == the batch path on this 1-core box.
+    device_demand = float(os.environ.get("DEVICE_IMG_PER_SEC", "1966"))
+    per_core = results.get("native_batch_img_per_sec",
+                           results["cv2_img_per_sec"])
+    results["device_img_per_sec"] = device_demand
+    results["feed_cores_required"] = round(device_demand / per_core, 1)
+
     import json
     print(json.dumps(results))
 

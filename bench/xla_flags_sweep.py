@@ -80,8 +80,18 @@ def run_variant(name: str, flags: str, overrides: str, repeat: int) -> dict:
             # error row (and keeps the variant skipped on resume).
             if best is not None:
                 break
+            err = (proc.stderr or proc.stdout)[-2000:]
+            if "Unknown flag" in err and "XLA_FLAGS" in err:
+                # Expected on the axon dev tunnel: compilation happens
+                # server-side and the local process rejects --xla_tpu_*
+                # flags. Record compactly; a real TPU runtime re-measures
+                # these rows (error rows don't count as done on resume).
+                return {"name": name, "flags": flags,
+                        "overrides": overrides,
+                        "error": "tunnel rejects server-side --xla_tpu_* "
+                                 "flags (Unknown flag in XLA_FLAGS)"}
             return {"name": name, "flags": flags, "overrides": overrides,
-                    "error": (proc.stderr or proc.stdout)[-2000:]}
+                    "error": err}
         if best is None or line["value"] > best["value"]:
             best = line
     return {"name": name, "flags": flags, "overrides": overrides,
