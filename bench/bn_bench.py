@@ -73,12 +73,14 @@ def main():
         bias = jnp.zeros((C,), jnp.float32)
 
         def make(fn):
-            def loss(x, s, b):
+            # w as an argument, NOT a closure: closed-over arrays become
+            # HLO constants (tunnel remote_compile rejects the payload).
+            def loss(x, s, b, w):
                 return jnp.sum((fn(x, s, b) * w).astype(jnp.float32))
             return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
 
-        t_xla = timeit(make(ref_bn), x, scale, bias)
-        t_ker = timeit(make(kernel_bn), x, scale, bias)
+        t_xla = timeit(make(ref_bn), x, scale, bias, w)
+        t_ker = timeit(make(kernel_bn), x, scale, bias, w)
         # fwd+bwd floor: fwd stats+apply (read x, write y ≈ 2 passes),
         # bwd reduce (dy+x) + dx pass (dy+x read, dx write) ≈ 5 passes
         nbytes = x.size * 2
