@@ -74,7 +74,7 @@ def main():
             sharded, state, train_step = build(donate)
             for _ in range(3):  # warmup (compile + first steps)
                 state, metrics = train_step(state, sharded, rng)
-            jax.block_until_ready(metrics["loss"])
+            float(metrics["loss"])  # value fetch = the real fence on the tunnel
         except Exception as e:
             if not donate:
                 raise
@@ -87,13 +87,13 @@ def main():
             sharded, state, train_step = build(donate=False)
             for _ in range(3):
                 state, metrics = train_step(state, sharded, rng)
-            jax.block_until_ready(metrics["loss"])
+            float(metrics["loss"])  # value fetch = the real fence on the tunnel
 
         iters = 20
         t0 = time.perf_counter()
         for _ in range(iters):
             state, metrics = train_step(state, sharded, rng)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])  # value fetch = the real fence on the tunnel
         dt = time.perf_counter() - t0
 
     img_per_sec = batch_size * iters / dt

@@ -17,15 +17,40 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from virtex_tpu.utils.common import setup_compilation_cache
 
 
-def timeit(fn, *args, iters=50):
+def timeit(fn, q, k, v, iters=50):
+    """Time ``iters`` executions INSIDE one jit via fori_loop, feeding a
+    tiny multiple of each iteration's first output leaf back into q.
+
+    The axon tunnel relay memoizes repeated executions with identical
+    arguments (round-3 discovery: constant-arg host loops measure RPC
+    latency, not compute), and loop-invariant bodies get hoisted — the
+    data dependency defeats both. The q-update adds one small elementwise
+    pass per iteration, identical across compared variants."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    def many(q, k, v):
+        def body(i, carry):
+            q, acc = carry
+            out = fn(q, k, v)
+            lead = jax.tree.leaves(out)[0]
+            q = (q.astype(jnp.float32)
+                 + lead.astype(jnp.float32).reshape(q.shape) * 1e-6
+                 ).astype(q.dtype)
+            return (q, acc + jnp.sum(lead.astype(jnp.float32)))
+        return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))
+
+    f = jax.jit(many)
+    float(f(q, k, v)[1])  # compile + warm (value fetch = the only fence)
+    # fresh content (relay memoizes identical-arg executions); sync via
+    # scalar fetch — block_until_ready does NOT block through the tunnel
+    q2 = jax.jit(lambda x: x * jnp.asarray(1.25, x.dtype))(q)
+    float(jnp.sum(q2.astype(jnp.float32)))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e6  # µs
+    acc = float(f(q2, k, v)[1])
+    dt = time.perf_counter() - t0
+    assert acc == acc
+    return dt / iters * 1e6  # µs
 
 
 def main():

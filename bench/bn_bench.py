@@ -21,15 +21,42 @@ from virtex_tpu.utils.common import setup_compilation_cache
 HBM_GBPS = 819e9  # v5e chip
 
 
-def timeit(fn, *args, iters=30):
+def timed_loop(grad_fn, x, scale, bias, w, iters=30):
+    """Time ``iters`` fwd+bwd executions INSIDE one jit via fori_loop.
+
+    Repeated host-side calls with identical arguments are memoized by the
+    axon tunnel relay (measured: 30 "calls" of a 1.7 ms-floor program in
+    1 ms total), so the loop must live on device with a data dependency
+    between iterations (x perturbed by a tiny multiple of dx) to prevent
+    both memoization and loop-invariant hoisting. The perturbation adds
+    one elementwise pass per iteration — identical for every variant, so
+    deltas between variants remain meaningful."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    def many(x, scale, bias, w):
+        def body(i, carry):
+            x, acc = carry
+            dx, ds, db = grad_fn(x, scale, bias, w)
+            x = (x.astype(jnp.float32)
+                 + dx.astype(jnp.float32) * 1e-8).astype(x.dtype)
+            return (x, acc + jnp.sum(ds))
+        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0)))
+
+    f = jax.jit(many)
+    float(f(x, scale, bias, w)[1])  # compile + warm (VALUE fetch: see below)
+    # Time with DIFFERENT input content (the relay memoizes identical-arg
+    # executions) and synchronize via a SCALAR VALUE FETCH —
+    # block_until_ready does NOT block through the tunnel (measured: a
+    # 35 ms-floor program "blocked" in 0.2 ms; its value fetch took the
+    # real time).
+    x2 = jax.jit(lambda x: x * jnp.bfloat16(1.5) + jnp.bfloat16(0.01))(x)
+    float(jnp.sum(x2.astype(jnp.float32)))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms
+    acc = float(f(x2, scale, bias, w)[1])
+    dt = time.perf_counter() - t0
+    assert acc == acc  # the fetch is the fence; keep it live
+    return dt / iters * 1e3  # ms
 
 
 def main():
@@ -77,14 +104,16 @@ def main():
             # HLO constants (tunnel remote_compile rejects the payload).
             def loss(x, s, b, w):
                 return jnp.sum((fn(x, s, b) * w).astype(jnp.float32))
-            return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+            return jax.grad(loss, argnums=(0, 1, 2))
 
-        t_xla = timeit(make(ref_bn), x, scale, bias, w)
-        t_ker = timeit(make(kernel_bn), x, scale, bias, w)
+        t_xla = timed_loop(make(ref_bn), x, scale, bias, w)
+        t_ker = timed_loop(make(kernel_bn), x, scale, bias, w)
         # fwd+bwd floor: fwd stats+apply (read x, write y ≈ 2 passes),
-        # bwd reduce (dy+x) + dx pass (dy+x read, dx write) ≈ 5 passes
+        # bwd reduce (dy+x) + dx pass (dy+x read, dx write) ≈ 5 passes,
+        # + 3 passes for the timing harness's x-perturbation (read x, dx,
+        # write x) — included because the measured loop pays it too.
         nbytes = x.size * 2
-        floor = 7 * nbytes / HBM_GBPS * 1e3
+        floor = 10 * nbytes / HBM_GBPS * 1e3
         tot_xla += t_xla * mult
         tot_ker += t_ker * mult
         tot_floor += floor * mult

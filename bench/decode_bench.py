@@ -52,15 +52,25 @@ def main(batch_size=1):
 
     rng = jax.random.PRNGKey(1)
 
+    # DISTINCT image batches, pre-placed on device: the axon tunnel relay
+    # memoizes repeated executions with identical arguments (discovered
+    # round 3 — constant-arg timing loops measure RPC latency, not
+    # compute), so every timed call must see fresh input content.
+    pool = [jax.block_until_ready(jax.numpy.asarray(
+        np.random.RandomState(100 + i).rand(batch_size, 224, 224, 3),
+        jax.numpy.float32)) for i in range(8)]
+
     def measure(dec, label):
         caption_fn = make_caption_fn(model, dec, sos_index=_C.DATA.SOS_INDEX)
         preds = caption_fn(variables, images, rng)  # compile
-        jax.block_until_ready(preds)
+        np.asarray(preds)  # value fetch — the only real fence (see pool)
         times = []
-        for _ in range(30):
+        for i in range(30):
+            img = pool[i % len(pool)]
+            r = jax.random.fold_in(rng, i)
             t0 = time.perf_counter()
-            preds = caption_fn(variables, images, rng)
-            jax.block_until_ready(preds)
+            preds = caption_fn(variables, img, r)
+            np.asarray(preds)  # (B, 30) int32 — negligible transfer
             times.append(time.perf_counter() - t0)
         p50 = sorted(times)[len(times) // 2] * 1000
         print(json.dumps({

@@ -27,9 +27,11 @@ the per-lane partial sums are then summed pairwise outside the kernel.
 The block's row count is the largest power-of-two divisor of M within a
 VMEM budget — shapes whose M lacks 2-factors fall back to XLA autodiff.
 
-Enabled by default on TPU next to the attention kernel
-(``VIRTEX_TPU_NO_PALLAS=1`` disables both; ``VIRTEX_TPU_NO_PALLAS_BN=1``
-disables just this op). CPU tests run the same kernel in interpret mode.
+Status: CORRECT but opt-in (``VIRTEX_TPU_PALLAS_BN=1``) — the round-3
+end-to-end A/B measured a ~35% train-step REGRESSION on v5e despite the
+micro-level win; see :func:`bn_kernel_enabled` and docs/design.md
+"BN-backward custom VJP: closed NEGATIVE". CPU tests run the same kernel
+in interpret mode.
 """
 from __future__ import annotations
 
@@ -53,9 +55,16 @@ _BLOCK_ELEMS = 1 << 20
 
 
 def bn_kernel_enabled() -> bool:
-    """Default ON for TPU (measured: see docs/design.md round-3 BN A/B);
-    VIRTEX_TPU_NO_PALLAS / VIRTEX_TPU_NO_PALLAS_BN fall back to XLA
-    autodiff of the jnp path."""
+    """Default OFF — opt in with ``VIRTEX_TPU_PALLAS_BN=1`` (TPU only).
+
+    Measured round 3 (docs/design.md "BN-backward custom VJP: closed
+    NEGATIVE"): the kernel is exact (tests/tpu_bn_parity.py) and beats
+    XLA at the micro level, but END-TO-END the train step REGRESSES
+    ~35% (1270 vs 1960 img/s) — the 53 opaque custom calls in the
+    backward break XLA's fusion/scheduling around them. Kept for other
+    hardware/XLA versions where the trade-off may differ."""
+    if not os.environ.get("VIRTEX_TPU_PALLAS_BN"):
+        return False
     if os.environ.get("VIRTEX_TPU_NO_PALLAS"):
         return False
     if os.environ.get("VIRTEX_TPU_NO_PALLAS_BN"):
