@@ -33,3 +33,25 @@ def resnet50(pretrained: bool = False, **kwargs):
         return visual.apply(vars_, images, train=False)
 
     return apply_fn, backbone_vars
+
+
+def resnet50_extractor(pretrained: bool = False, **kwargs):
+    r"""The reference-shaped contract: ONE callable, ``f(images) ->
+    (B, 7, 7, 2048)`` features — what ``torch.hub.load(...)(image_batch)``
+    gives reference users, with the variables closed over. Accepts NHWC
+    float arrays (jax or numpy); NCHW torch-convention input is
+    transposed automatically (detected by the channel axis)."""
+    import jax.numpy as jnp
+
+    apply_fn, variables = resnet50(pretrained=pretrained, **kwargs)
+
+    def extractor(images):
+        images = jnp.asarray(images, jnp.float32)
+        if images.ndim != 4:
+            raise ValueError(f"expected (B, H, W, 3) images, got "
+                             f"{images.shape}")
+        if images.shape[1] == 3 and images.shape[-1] != 3:
+            images = images.transpose(0, 2, 3, 1)  # NCHW → NHWC
+        return apply_fn(variables, images)
+
+    return extractor

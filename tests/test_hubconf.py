@@ -19,3 +19,19 @@ def test_hub_resnet50_feature_extractor():
     apply_fn, variables = hubconf.resnet50(pretrained=False)
     feats = apply_fn(variables, jnp.zeros((2, 224, 224, 3), jnp.float32))
     assert feats.shape == (2, 7, 7, 2048)
+
+
+def test_resnet50_extractor_callable_contract():
+    """The reference-shaped single-callable contract: f(images) -> grid,
+    accepting NHWC or NCHW input."""
+    import numpy as np
+
+    import hubconf
+
+    f = hubconf.resnet50_extractor(pretrained=False)
+    nhwc = np.random.RandomState(0).rand(2, 64, 64, 3).astype("float32")
+    out = f(nhwc)
+    assert out.shape == (2, 2, 2, 2048)
+    out2 = f(nhwc.transpose(0, 3, 1, 2))  # NCHW
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2),
+                               rtol=1e-5)
