@@ -37,10 +37,8 @@ def main(_A) -> None:
     import numpy as np
     import orbax.checkpoint as ocp
 
-    from virtex_tpu.config import Config
     from virtex_tpu.model_zoo import model_zoo
 
-    _C = Config(_A.config, _A.config_override)
     model, variables, _ = model_zoo.get(
         os.path.abspath(_A.config), pretrained=True,
         checkpoint_path=_A.checkpoint_path, overrides=_A.config_override)

@@ -146,7 +146,10 @@ def initialize_model(model, sample_batch, rng,
         out_shardings = jax.tree.map(lambda _: replicated(mesh), shapes)
         if "params" in shapes:
             out_shardings["params"] = param_sharding(shapes["params"], mesh)
-        variables = jax.jit(init_fn, out_shardings=out_shardings)(sample_batch)
+        # init's forward also traces the Pallas kernels — they must see the
+        # mesh (ops/_mesh.py) like the train/eval steps do.
+        variables = wrap_step_fn(
+            jax.jit(init_fn, out_shardings=out_shardings), mesh)(sample_batch)
     else:
         variables = jax.jit(init_fn)(sample_batch)
     return variables

@@ -161,7 +161,8 @@ def fetch(url: str, sha256: Optional[str] = None,
         _check(target)
         return target
     tmp = target + ".part"
-    with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+    with urllib.request.urlopen(url, timeout=600) as r, \
+            open(tmp, "wb") as f:
         while True:
             chunk = r.read(1 << 20)
             if not chunk:

@@ -232,9 +232,23 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # offset (local program ids repeat across shards).
     from virtex_tpu.ops._mesh import active_mesh, mesh_axes
     data_par, model_par = mesh_axes()
-    if (data_par * model_par > 1 and B % data_par == 0
-            and N % model_par == 0
-            and (mask.shape[1] == 1 or mask.shape[1] % model_par == 0)):
+    if data_par * model_par > 1:
+        divisible = (B % data_par == 0 and N % model_par == 0
+                     and (mask.shape[1] == 1
+                          or mask.shape[1] % model_par == 0))
+        if not divisible:
+            # A plain pallas_call under a multi-device mesh is either
+            # gathered (slow) or wrong — refuse rather than guess. The
+            # XLA einsum path partitions natively but has no in-kernel
+            # dropout.
+            if rate > 0.0:
+                raise ValueError(
+                    f"fused_attention under a {data_par}x{model_par} mesh "
+                    f"needs B % data == 0 and heads % model == 0 "
+                    f"(got B={B}, N={N}); adjust batch/heads or disable "
+                    "the kernel (VIRTEX_TPU_NO_PALLAS=1)")
+            return xla_attention(q, k, v, mask)
+    if data_par * model_par > 1:
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
         qspec = P("data", None, "model", None)
