@@ -53,11 +53,11 @@ def main(configs):
             rng = jax.random.PRNGKey(1)
             for _ in range(3):
                 state, m = step(state, sb, rng)
-            jax.block_until_ready(m["loss"])
+            float(m["loss"])  # value fetch = the real fence on the tunnel
             t0 = time.perf_counter()
             for _ in range(10):
                 state, m = step(state, sb, rng)
-            jax.block_until_ready(m["loss"])
+            float(m["loss"])  # value fetch = the real fence on the tunnel
             dt = time.perf_counter() - t0
         print(json.dumps({"config": rel,
                           "img_per_sec": round(bs * 10 / dt, 1)}))

@@ -67,11 +67,11 @@ def measure(n_chips: int, model_par: int, batch_per_chip: int,
         rng = jax.random.PRNGKey(1)
         for _ in range(3):
             state, metrics = step(state, sharded, rng)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])  # value fetch = the real fence on the tunnel
         t0 = time.perf_counter()
         for _ in range(iters):
             state, metrics = step(state, sharded, rng)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])  # value fetch = the real fence on the tunnel
         dt = time.perf_counter() - t0
     return len(batch["image"]) * iters / dt
 

@@ -121,13 +121,13 @@ def main():
     with mesh:
         for _ in range(3):  # warmup/compile
             state, metrics = train_step(state, sharded, rng)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])  # value fetch = the real fence on the tunnel
 
         trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="step_profile_")
         jax.profiler.start_trace(trace_dir)
         for _ in range(args.steps):
             state, metrics = train_step(state, sharded, rng)
-        jax.block_until_ready(metrics["loss"])
+        float(metrics["loss"])  # value fetch = the real fence on the tunnel
         jax.profiler.stop_trace()
 
     totals = parse_trace(trace_dir)
