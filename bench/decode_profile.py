@@ -1,0 +1,100 @@
+r"""
+Decode profiler: trace compiled beam-search decode calls and report DEVICE
+time — separates real compute from the dev tunnel's per-call RPC overhead
+in the wall-clock p50 that bench/decode_bench.py reports.
+
+Each traced call uses distinct input content (the tunnel memoizes
+identical-argument executions) and the parse reads only the TPU plane's
+"XLA Ops" line (same recipe as bench/step_profile.py).
+
+Usage:
+    JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache_tpu \
+        python bench/decode_profile.py [batch_size] [--calls 8] [--top 20]
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from step_profile import classify, parse_trace  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batch_size", nargs="?", type=int, default=32)
+    ap.add_argument("--calls", type=int, default=8)
+    ap.add_argument("--top", type=int, default=20)
+    args = ap.parse_args()
+
+    from virtex_tpu.utils.common import setup_compilation_cache
+    setup_compilation_cache()
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _flagship_config
+    from virtex_tpu.engine.captioner import make_caption_fn
+    from virtex_tpu.factories import (
+        CaptionDecoderFactory,
+        PretrainingModelFactory,
+    )
+
+    _C = _flagship_config()
+    model = PretrainingModelFactory.from_config(_C)
+    decoder = CaptionDecoderFactory.from_config(_C)
+    # worst case: every beam runs all 30 steps
+    import copy
+    decoder = copy.copy(decoder)
+    decoder.eos_index = 10 ** 6
+
+    B = args.batch_size
+    T = _C.DATA.MAX_CAPTION_LENGTH
+    tokens = np.full((B, T), 2, np.int32)
+    tokens[:, 0] = 1
+    init = {"image": jax.numpy.zeros((B, 224, 224, 3), jax.numpy.float32),
+            "caption_tokens": jax.numpy.asarray(tokens),
+            "noitpac_tokens": jax.numpy.asarray(tokens[:, ::-1].copy()),
+            "caption_lengths": jax.numpy.full((B,), T, jax.numpy.int32)}
+    variables = model.init(jax.random.PRNGKey(0), init, train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    caption_fn = make_caption_fn(model, decoder,
+                                 sos_index=_C.DATA.SOS_INDEX)
+    pool = [jax.numpy.asarray(
+        np.random.RandomState(i).rand(B, 224, 224, 3), jax.numpy.float32)
+        for i in range(args.calls)]
+    np.asarray(caption_fn(variables, pool[0]))  # compile + warm
+
+    trace_dir = tempfile.mkdtemp(prefix="decode_profile_")
+    jax.profiler.start_trace(trace_dir)
+    for i in range(1, args.calls):
+        preds = caption_fn(variables, pool[i])
+    np.asarray(preds)  # value fetch = the real fence on the tunnel
+    jax.profiler.stop_trace()
+
+    totals = parse_trace(trace_dir)
+    calls = args.calls - 1
+    device_ms = sum(totals.values())
+    per_call = device_ms / calls
+    print(f"\ndevice time: {device_ms:.2f} ms over {calls} decode calls "
+          f"=> {per_call:.2f} ms/call = {per_call / B:.3f} ms/image "
+          f"(batch {B}, full-30-steps)")
+
+    groups = collections.defaultdict(float)
+    for name, ms in totals.items():
+        groups[classify(name)] += ms
+    print("\nby op kind (ms/call):")
+    for k, v in sorted(groups.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:24s} {v / calls:8.3f}  {100 * v / device_ms:5.1f}%")
+    print(f"\ntop {args.top} ops (ms/call):")
+    for name, ms in sorted(totals.items(), key=lambda kv: -kv[1])[: args.top]:
+        print(f"  {ms / calls:8.3f}  {name[:110]}")
+
+
+if __name__ == "__main__":
+    main()

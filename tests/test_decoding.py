@@ -168,3 +168,51 @@ def test_nucleus_respects_top_p_mass():
                              jax.random.PRNGKey(i))
         draws.add(int(np.asarray(preds)[0, 0]))
     assert draws == {0}
+
+
+def test_topk_small_matches_lax_top_k():
+    """_topk_small is the TPU fast path for the in-loop per-node top-P
+    (XLA lowers lax.top_k to a full vocab sort); it must match lax.top_k
+    bit-exactly, including stable tie ordering and NEG_INF-flooded rows."""
+    from virtex_tpu.utils.beam_search import NEG_INF, _topk_small
+
+    rng = np.random.RandomState(0)
+    for k in (1, 2, 5, 8):
+        for shape in ((7, 4, 100), (3, 1000), (64,)):
+            x = rng.randn(*shape).astype(np.float32)
+            # inject exact ties and NEG_INF floods
+            flat = x.reshape(-1, shape[-1])
+            flat[..., 10:20] = flat[..., 0:1]          # repeated max ties
+            flat[0, :] = NEG_INF                        # all-flooded row
+            if flat.shape[0] > 1:
+                flat[1, 5:] = NEG_INF                   # partial flood
+            ref_v, ref_i = jax.lax.top_k(jnp.asarray(x), k)
+            got_v, got_i = _topk_small(jnp.asarray(x), k)
+            np.testing.assert_array_equal(np.asarray(ref_i),
+                                          np.asarray(got_i))
+            np.testing.assert_array_equal(np.asarray(ref_v),
+                                          np.asarray(got_v))
+
+
+def test_beam_search_unaffected_by_topk_threshold(monkeypatch):
+    """Beam results are identical whichever top-k path is taken (a vocab
+    large enough that the iterative path actually engages)."""
+    import virtex_tpu.utils.beam_search as bs
+
+    big_v = 64
+    rng = np.random.RandomState(7)
+    logits = rng.randn(big_v, big_v).astype(np.float32)
+    table = np.log(np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))
+
+    def run():
+        beam = AutoRegressiveBeamSearch(eos_index=EOS, max_steps=6,
+                                        beam_size=5, per_node_beam_size=2)
+        start = jnp.zeros((3,), jnp.int32)
+        return beam.search(start, markov_step_fn(table), state={},
+                           only_return_best=False)
+
+    fast_p, fast_s = run()
+    monkeypatch.setattr(bs, "_ITERATIVE_TOPK_MAX_K", 0)  # force lax.top_k
+    slow_p, slow_s = run()
+    np.testing.assert_array_equal(np.asarray(fast_p), np.asarray(slow_p))
+    np.testing.assert_array_equal(np.asarray(fast_s), np.asarray(slow_s))
