@@ -10,7 +10,13 @@ high CIDEr on held-out val images through the exact CLI path a user runs
 --calc-metrics, `scripts/eval_captioning.py:104-109`).
 
 Pass criterion: val CIDEr ≥ 100 after a short training run (random
-captions score ~0; a memorised mapping scores several hundred).
+captions score ~0; a memorised mapping scores several hundred). A third
+phase re-runs eval_captioning with the NUCLEUS decoder on the same
+checkpoint (reference `scripts/eval_captioning.py` supports either via
+MODEL.DECODER.NAME) — on a memorised mapping the top-p mass concentrates
+on the right tokens, so nucleus must also clear a (looser, sampling-noise
+tolerant) CIDEr ≥ 80 bar. This closes the "proxy only exercises beam
+decode" gap: both decoder families now move a real metric end-to-end.
 
 Usage: python tests/quality_proxy_smoke.py [iterations]
 """
@@ -56,12 +62,23 @@ def _run(root: pathlib.Path, iterations: int) -> None:
         "OPTIM.BATCH_SIZE", "32",
         "OPTIM.NUM_ITERATIONS", str(iterations),
         "OPTIM.WARMUP_STEPS", "40",
+        # adamw actually LEARNS the color→caption mapping in 400 iters
+        # (like tests/overfit_smoke.py). The config-default sgd@1e-3
+        # underfits here: val CE stays ~1.75/token, beam mode-collapses to
+        # ONE caption for every image (which still scored CIDEr ~148 on
+        # this tiny corpus — a flattering artifact), and nucleus sampling
+        # honestly exposes the diffuse distribution as gibberish (CIDEr 5).
+        "OPTIM.OPTIMIZER_NAME", "adamw",
+        "OPTIM.LR", "0.001",
+        "OPTIM.CNN_LR", "0.001",
+        "OPTIM.WEIGHT_DECAY", "0.0001",
+        "OPTIM.LOOKAHEAD.USE", "False",
     ]
     ser = str(root / "ser")
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
-    print(f"[1/2] pretraining {iterations} iterations on learnable COCO…",
+    print(f"[1/3] pretraining {iterations} iterations on learnable COCO…",
           flush=True)
     subprocess.check_call(
         [sys.executable, os.path.join(REPO, "scripts", "pretrain_virtex.py"),
@@ -74,29 +91,42 @@ def _run(root: pathlib.Path, iterations: int) -> None:
     ckpt = os.path.join(ser, f"checkpoint_{iterations}")
     assert os.path.isdir(ckpt), f"missing {ckpt}"
 
-    print("[2/2] eval_captioning --calc-metrics on held-out val…", flush=True)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "scripts", "eval_captioning.py"),
-         "--config-override", *overrides,
-         "--checkpoint-path", ckpt,
-         "--calc-metrics", "--batch-size", "16",
-         "--serialization-dir", str(root / "eval")],
-        env=env, capture_output=True, text=True, timeout=3000)
-    print(out.stdout[-2000:])
-    if out.returncode != 0:
-        print(out.stderr[-3000:])
-        raise SystemExit(out.returncode)
-    metrics = None
-    for ln in out.stdout.splitlines():
-        if ln.startswith("{") and "CIDEr" in ln:
-            metrics = json.loads(ln)
-    assert metrics is not None, "no metrics line emitted"
-    cider = metrics["CIDEr"]
-    status = "PASS" if cider >= 100.0 else "FAIL"
+    def eval_cider(extra_overrides, outdir):
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts", "eval_captioning.py"),
+             "--config-override", *overrides, *extra_overrides,
+             "--checkpoint-path", ckpt,
+             "--calc-metrics", "--batch-size", "16",
+             "--serialization-dir", str(root / outdir)],
+            env=env, capture_output=True, text=True, timeout=3000)
+        print(out.stdout[-2000:])
+        if out.returncode != 0:
+            print(out.stderr[-3000:])
+            raise SystemExit(out.returncode)
+        metrics = None
+        for ln in out.stdout.splitlines():
+            if ln.startswith("{") and "CIDEr" in ln:
+                metrics = json.loads(ln)
+        assert metrics is not None, "no metrics line emitted"
+        return metrics["CIDEr"]
+
+    print("[2/3] eval_captioning --calc-metrics (beam search)…", flush=True)
+    cider = eval_cider([], "eval")
+
+    print("[3/3] eval_captioning --calc-metrics (nucleus sampling)…",
+          flush=True)
+    nucleus_cider = eval_cider(
+        ["MODEL.DECODER.NAME", "nucleus_sampling"], "eval_nucleus")
+
+    status = ("PASS" if cider >= 100.0 and nucleus_cider >= 80.0 else "FAIL")
     print(json.dumps({"quality_proxy_smoke": status,
                       "val_CIDEr": round(cider, 2),
+                      "val_CIDEr_nucleus": round(nucleus_cider, 2),
                       "iterations": iterations}))
-    assert cider >= 100.0, f"val CIDEr {cider:.2f} < 100"
+    assert cider >= 100.0, f"beam val CIDEr {cider:.2f} < 100"
+    assert nucleus_cider >= 80.0, \
+        f"nucleus val CIDEr {nucleus_cider:.2f} < 80"
 
 
 if __name__ == "__main__":

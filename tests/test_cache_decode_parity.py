@@ -115,3 +115,61 @@ def test_caption_fn_nucleus_path():
     assert p1.shape == (2, MAXLEN)
     assert ((p1 >= 0) & (p1 < VOCAB)).all()
     np.testing.assert_array_equal(p1, p2)  # rng-deterministic
+
+
+def test_kv_cache_nucleus_equals_full_prefix_nucleus():
+    """Nucleus twin of the beam parity test above: KV-cached sampling must
+    emit the SAME tokens as a full-prefix re-forward driving the same
+    sampler with the same rng — any cache/position bug would desync the
+    logits and (with high probability across 30 sampled steps) the draws.
+    Added after the quality-proxy diagnosis showed the nucleus path's only
+    prior end-to-end evidence was shape/determinism checks."""
+    from virtex_tpu.utils.nucleus_sampling import AutoRegressiveNucleusSampling
+
+    model = ForwardCaptioningModel(
+        visual=ResNetVisualBackbone("resnet18", dtype=jnp.float32),
+        textual=TransformerTextualHead(
+            visual_feature_size=512, vocab_size=VOCAB, hidden_size=32,
+            num_layers=2, attention_heads=4, feedforward_size=64,
+            dropout=0.0, max_caption_length=MAXLEN, dtype=jnp.float32))
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    tokens = rng.randint(4, VOCAB, (2, MAXLEN)).astype(np.int32)
+    tokens[:, 0] = 1
+    batch = {"image": images, "caption_tokens": jnp.asarray(tokens),
+             "noitpac_tokens": jnp.asarray(tokens[:, ::-1].copy()),
+             "caption_lengths": jnp.full((2,), MAXLEN, jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    decoder = AutoRegressiveNucleusSampling(eos_index=2, max_steps=MAXLEN,
+                                            nucleus_size=0.9)
+    fast = make_caption_fn(model, decoder, sos_index=1)
+    fast_preds = np.asarray(fast(variables, images, jax.random.PRNGKey(3)))
+
+    # full-prefix re-forward: nucleus keeps SOS at position 0, prefixes
+    # [SOS, w1, ..., wt] (train-consistent — captioner.py nucleus contract)
+    grid = model.apply(variables, images, method="encode_visual")
+    B = images.shape[0]
+    prefix_buf = np.full((B, MAXLEN + 1), 0, np.int32)
+    prefix_buf[:, 0] = 1  # SOS
+
+    def slow_step(last_tokens, position, state):
+        buf = state["buf"]
+        # position t feeds token t of the prefix: t=0 re-writes SOS, later
+        # steps append the newest sample at position t.
+        buf = buf.at[:, position].set(last_tokens)
+        length = position + 1
+        lengths = jnp.full((B,), length, jnp.int32)
+        logits = model.textual.apply(
+            {"params": variables["params"]["textual"]},
+            grid, buf[:, :MAXLEN], lengths, True)
+        step_logits = logits[jnp.arange(B), length - 1]
+        return step_logits, {"buf": buf}
+
+    state = {"buf": jnp.asarray(prefix_buf)}
+    slow_preds, _ = decoder.search(jnp.full((B,), 1, jnp.int32), slow_step,
+                                   state, jax.random.PRNGKey(3))
+
+    np.testing.assert_array_equal(fast_preds, np.asarray(slow_preds))
