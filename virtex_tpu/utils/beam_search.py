@@ -124,25 +124,32 @@ class AutoRegressiveBeamSearch:
 
         def body(carry):
             t, last, scores, preds, state = carry
-            logprobs, state = step_fn(last.reshape(B * K), t, state)
+            last_flat = last.reshape(B * K)
+            logprobs, state = step_fn(last_flat, t, state)
             V = logprobs.shape[-1]
-            logprobs = logprobs.reshape(B, K, V).astype(jnp.float32)
+            # All the vocab-size work stays FLAT (B·K, V): every op below
+            # is per-row, and a (B, K, V) view in the loop lets XLA's
+            # layout assignment make the small (B, K) pair minor-most —
+            # profiled at batch 128 as a {1,0,2} layout with 640→1024 tile
+            # padding, a 29 ms/call materialised reshape, and ~6× worse
+            # per-image decode. Only the (·, P)-sized tensors get reshaped.
+            logprobs = logprobs.astype(jnp.float32)
 
             # Repetition penalty on each beam's last predicted token.
             logprobs = logprobs + REPETITION_PENALTY * jax.nn.one_hot(
-                last, V, dtype=jnp.float32)
+                last_flat, V, dtype=jnp.float32)
 
             # EOS-absorbing: a finished beam only extends with EOS at zero
             # added cost (so its score freezes). The loop starts at t=1, so
             # `last` is always a real prediction here.
-            finished = last == eos
+            finished = last_flat == eos
             after_end = jnp.full((V,), NEG_INF).at[eos].set(0.0)
-            logprobs = jnp.where(finished[..., None], after_end[None, None],
+            logprobs = jnp.where(finished[:, None], after_end[None],
                                  logprobs)
 
             # Per-node top-P then global top-K over K·P candidates.
-            node_lp, node_ix = _topk(logprobs, P)              # (B, K, P)
-            cand = scores[..., None] + node_lp                  # (B, K, P)
+            node_lp, node_ix = _topk(logprobs, P)              # (B·K, P)
+            cand = scores.reshape(B * K)[:, None] + node_lp     # (B·K, P)
             cand_flat = cand.reshape(B, K * P)
             new_scores, flat_ix = jax.lax.top_k(cand_flat, K)   # (B, K)
             src_beam = flat_ix // P                             # (B, K)
@@ -153,6 +160,13 @@ class AutoRegressiveBeamSearch:
             preds = jnp.take_along_axis(preds, src_beam[..., None], axis=1)
             preds = preds.at[:, :, t].set(new_tokens)
 
+            # NOTE on the reorder form: a flat row-gather
+            # (jnp.take(x, b*K + src_beam, axis=0)) looks cheaper but
+            # makes XLA assign the KV caches a {3,1,2,0} layout (time as
+            # second-minor) at every batch size — the per-step
+            # dynamic-update-slices then write strided (profiled +21% at
+            # batch 32). The (B, K, ...) take_along_axis view keeps the
+            # caches natural {3,2,1,0}.
             def reorder(x):
                 xb = x.reshape(B, K, *x.shape[1:])
                 ix = src_beam.reshape(B, K, *([1] * (x.ndim - 1)))
