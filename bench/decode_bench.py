@@ -6,7 +6,7 @@ BASELINE.json config #1 ("greedy caption decode, single COCO image"). The
 reference re-runs the full transformer per step per beam on GPU; this path
 encodes once and steps a KV cache inside one lax.while_loop.
 
-Usage: python bench/decode_bench.py [batch_size]
+Usage: python bench/decode_bench.py [batch_size] [--decoder beam|nucleus]
 """
 from __future__ import annotations
 
@@ -22,7 +22,7 @@ import numpy as np
 from virtex_tpu.utils.common import setup_compilation_cache
 
 
-def main(batch_size=1):
+def main(batch_size=1, decoder_name="beam"):
     setup_compilation_cache()
     import jax
 
@@ -34,6 +34,10 @@ def main(batch_size=1):
     )
 
     _C = _flagship_config()
+    if decoder_name == "nucleus":
+        _C.defrost()
+        _C.MODEL.DECODER.NAME = "nucleus_sampling"
+        _C.freeze()
     model = PretrainingModelFactory.from_config(_C)
     decoder = CaptionDecoderFactory.from_config(_C)
 
@@ -59,6 +63,11 @@ def main(batch_size=1):
     pool = [jax.block_until_ready(jax.numpy.asarray(
         np.random.RandomState(100 + i).rand(batch_size, 224, 224, 3),
         jax.numpy.float32)) for i in range(8)]
+    # Pre-folded rng pool: fold_in is its own remote execution on the dev
+    # tunnel (~an extra RPC inside the timed region) and rng prep is input
+    # prep, not decode work.
+    rng_pool = [jax.block_until_ready(jax.random.fold_in(rng, i))
+                for i in range(30)]
 
     def measure(dec, label):
         caption_fn = make_caption_fn(model, dec, sos_index=_C.DATA.SOS_INDEX)
@@ -67,14 +76,14 @@ def main(batch_size=1):
         times = []
         for i in range(30):
             img = pool[i % len(pool)]
-            r = jax.random.fold_in(rng, i)
+            r = rng_pool[i]
             t0 = time.perf_counter()
             preds = caption_fn(variables, img, r)
             np.asarray(preds)  # (B, 30) int32 — negligible transfer
             times.append(time.perf_counter() - t0)
         p50 = sorted(times)[len(times) // 2] * 1000
         print(json.dumps({
-            "metric": f"bicaptioning_R50_L1_H1024 beam-5 decode p50 ({label})",
+            "metric": f"bicaptioning_R50_L1_H1024 {'nucleus-0.9' if decoder_name == 'nucleus' else 'beam-5'} decode p50 ({label})",
             "batch_size": batch_size,
             "value": round(p50, 2),
             "unit": "ms",
@@ -90,4 +99,7 @@ def main(batch_size=1):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1)
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    dec = "nucleus" if "--decoder" in sys.argv and "nucleus" in sys.argv \
+        else "beam"
+    main(int(argv[0]) if argv else 1, dec)

@@ -1,6 +1,7 @@
 r"""
-Decode profiler: trace compiled beam-search decode calls and report DEVICE
-time — separates real compute from the dev tunnel's per-call RPC overhead
+Decode profiler: trace compiled decode calls (beam search by default,
+``--decoder nucleus`` for top-p sampling) and report DEVICE time —
+separates real compute from the dev tunnel's per-call RPC overhead
 in the wall-clock p50 that bench/decode_bench.py reports.
 
 Each traced call uses distinct input content (the tunnel memoizes
@@ -29,6 +30,7 @@ def main():
     ap.add_argument("batch_size", nargs="?", type=int, default=32)
     ap.add_argument("--calls", type=int, default=8)
     ap.add_argument("--top", type=int, default=20)
+    ap.add_argument("--decoder", choices=("beam", "nucleus"), default="beam")
     args = ap.parse_args()
 
     from virtex_tpu.utils.common import setup_compilation_cache
@@ -44,9 +46,13 @@ def main():
     )
 
     _C = _flagship_config()
+    if args.decoder == "nucleus":
+        _C.defrost()
+        _C.MODEL.DECODER.NAME = "nucleus_sampling"
+        _C.freeze()
     model = PretrainingModelFactory.from_config(_C)
     decoder = CaptionDecoderFactory.from_config(_C)
-    # worst case: every beam runs all 30 steps
+    # worst case: every search runs all 30 steps
     import copy
     decoder = copy.copy(decoder)
     decoder.eos_index = 10 ** 6
@@ -68,12 +74,20 @@ def main():
     pool = [jax.numpy.asarray(
         np.random.RandomState(i).rand(B, 224, 224, 3), jax.numpy.float32)
         for i in range(args.calls)]
-    np.asarray(caption_fn(variables, pool[0]))  # compile + warm
+    rngs = ([None] * args.calls if args.decoder == "beam"
+            else [jax.random.PRNGKey(i) for i in range(args.calls)])
+
+    def call(i):
+        if args.decoder == "beam":
+            return caption_fn(variables, pool[i])
+        return caption_fn(variables, pool[i], rngs[i])
+
+    np.asarray(call(0))  # compile + warm
 
     trace_dir = tempfile.mkdtemp(prefix="decode_profile_")
     jax.profiler.start_trace(trace_dir)
     for i in range(1, args.calls):
-        preds = caption_fn(variables, pool[i])
+        preds = call(i)
     np.asarray(preds)  # value fetch = the real fence on the tunnel
     jax.profiler.stop_trace()
 

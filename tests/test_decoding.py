@@ -216,3 +216,75 @@ def test_beam_search_unaffected_by_topk_threshold(monkeypatch):
     slow_p, slow_s = run()
     np.testing.assert_array_equal(np.asarray(fast_p), np.asarray(slow_p))
     np.testing.assert_array_equal(np.asarray(fast_s), np.asarray(slow_s))
+
+
+def _sorted_rule_drop(logits, p):
+    """The reference top-p rule, straight transcription: sort desc (stable,
+    index tie-break), cumulative softmax, drop where (cum - probs) > p,
+    keep rank 0 — in float64 so the oracle has no rounding ambiguity."""
+    logits = np.asarray(logits, np.float64)
+    drop = np.zeros(logits.shape, bool)
+    for b in range(logits.shape[0]):
+        order = np.argsort(-logits[b], kind="stable")
+        s = logits[b][order]
+        probs = np.exp(s - s.max())
+        probs /= probs.sum()
+        cum = np.cumsum(probs)
+        d = (cum - probs) > p
+        d[0] = False
+        drop[b][order] = d
+    return drop
+
+
+@pytest.mark.parametrize("p", [1e-4, 0.3, 0.9, 0.999])
+def test_topp_drop_matches_sorted_rule(p):
+    """`_topp_drop` (bisection on the uint32 key view, no vocab sort) must
+    select the same nucleus as the sorted-cumsum rule: random logits,
+    flat rows, peaked rows, exact ties (incl. at the boundary), ±0.0,
+    NEG_INF floods."""
+    from virtex_tpu.utils.nucleus_sampling import NEG_INF, _topp_drop
+
+    rng = np.random.RandomState(0)
+    rows = [
+        rng.randn(41).astype(np.float32) * 3,           # generic
+        np.zeros(41, np.float32),                       # fully flat
+        np.full(41, -7.5, np.float32),                  # flat, nonzero
+        rng.randn(41).astype(np.float32) * 20,          # peaked
+        np.repeat(rng.randn(8).astype(np.float32), 6)[:41],  # many ties
+        np.concatenate([[0.0, -0.0] * 10,
+                        rng.randn(21).astype(np.float32)]).astype(np.float32),
+        np.full(41, NEG_INF, np.float32),               # flood
+        np.concatenate([[5.0], np.full(40, NEG_INF)]).astype(np.float32),
+    ]
+    logits = np.stack(rows)
+    got = np.asarray(jax.jit(lambda l: _topp_drop(l, p))(jnp.asarray(logits)))
+    want = _sorted_rule_drop(logits, p)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_topp_drop_matches_sorted_rule_fuzz():
+    """1000 random rows, several scales, float32 boundary roundings: the
+    kept set may legally differ from the float64 oracle only where a
+    token's mass-before lands within float32 noise of p — check exact
+    equality modulo that one-token boundary tolerance."""
+    from virtex_tpu.utils.nucleus_sampling import _topp_drop
+
+    rng = np.random.RandomState(1)
+    p = 0.9
+    logits = (rng.randn(1000, 67) * rng.choice([0.3, 1.0, 5.0], (1000, 1))
+              ).astype(np.float32)
+    got = np.asarray(jax.jit(lambda l: _topp_drop(l, p))(jnp.asarray(logits)))
+    want = _sorted_rule_drop(logits, p)
+    mismatch_rows = np.where((got != want).any(axis=1))[0]
+    for b in mismatch_rows:
+        diff = np.where(got[b] != want[b])[0]
+        # At most the single boundary token, and only when its float64
+        # mass-before is within 1e-5 of p.
+        assert len(diff) == 1, (b, diff)
+        l = logits[b].astype(np.float64)
+        order = np.argsort(-l, kind="stable")
+        probs = np.exp(l[order] - l[order].max())
+        probs /= probs.sum()
+        cum_before = np.cumsum(probs) - probs
+        rank = int(np.where(order == diff[0])[0][0])
+        assert abs(cum_before[rank] - p) < 1e-5, (b, cum_before[rank])

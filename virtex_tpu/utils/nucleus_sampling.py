@@ -19,6 +19,73 @@ StepFn = Callable[[jnp.ndarray, jnp.ndarray, Any], Tuple[jnp.ndarray, Any]]
 NEG_INF = -1e18
 
 
+def _sort_keys(logits: jnp.ndarray) -> jnp.ndarray:
+    """Monotone uint32 view of float32 values: a > b (as floats, no NaNs)
+    iff key(a) > key(b). The IEEE-754 radix trick — negative floats get
+    all bits flipped, positives get the sign bit set. ``-0.0`` is first
+    mapped to ``+0.0`` (equal as floats, different bits) so both share one
+    key; an explicit select, because XLA folds ``x + 0.0`` to ``x``. Every
+    non-NaN key is > 0, so 0 is a safe below-everything sentinel."""
+    logits = jnp.where(logits == 0.0, 0.0, logits)
+    bits = jax.lax.bitcast_convert_type(logits, jnp.uint32)
+    neg = bits >= jnp.uint32(0x80000000)
+    return jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
+
+
+def _topp_drop(logits: jnp.ndarray, p: float) -> jnp.ndarray:
+    """Vocab-order drop mask for top-p, WITHOUT a full-vocab sort.
+
+    Semantics are exactly the reference rule (sort desc by logit with
+    index tie-break, cumulative softmax, drop where ``(cum - probs) > p``,
+    always keep rank 0): token i is kept iff the probability mass sorted
+    strictly before it is <= p. XLA lowers ``argsort``/``top_k`` over the
+    (B, V) logits to a full variadic sort — measured 43% of BEAM decode
+    device time before the same fix there (``beam_search._topk_small``).
+    Here the boundary logit is found by a 32-step bisection on the
+    monotone uint32 key view (converges to ADJACENT keys, so the boundary
+    is exact), then ties at the boundary are resolved by index order via
+    a prefix count — equal logits have bitwise-equal softmax probs, so
+    rank r's mass-before is ``S + r * p_tie``.
+
+    Rounding profile differs from the sorted-``cumsum`` formulation in the
+    last ulp (masked row-sums vs sequential scan) — same class of
+    difference as XLA's tree cumsum vs torch's sequential one, and only
+    observable when a token's cumulative mass lands exactly on ``p``.
+    """
+    B, V = logits.shape
+    probs = jax.nn.softmax(logits, axis=-1)
+    keys = _sort_keys(logits)
+
+    def mass_above(tau):
+        # Σ probs[key > τ]  (τ: (B, 1) uint32)
+        return jnp.sum(jnp.where(keys > tau, probs, 0.0), axis=-1,
+                       keepdims=True)
+
+    def bisect(_, lohi):
+        lo, hi = lohi
+        mid = lo + (hi - lo) // jnp.uint32(2)
+        above = mass_above(mid) <= p
+        return jnp.where(above, lo, mid), jnp.where(above, mid, hi)
+
+    lo = jnp.zeros((B, 1), jnp.uint32)             # below every real key
+    hi = jnp.full((B, 1), jnp.uint32(0xFFFFFFFF))  # above every real key
+    # Invariants: mass_above(lo) > p (=1 at start, p<1), mass_above(hi)<=p
+    # (=0). 32 halvings of a 2^32 range end with hi = lo + 1, so no key
+    # lies strictly between them.
+    lo, hi = jax.lax.fori_loop(0, 32, bisect, (lo, hi))
+
+    # Boundary = smallest key above lo; mass_above(boundary) <= p.
+    k_b = jnp.min(jnp.where(keys > lo, keys, jnp.uint32(0xFFFFFFFF)),
+                  axis=-1, keepdims=True)
+    above = keys > k_b                              # kept unconditionally
+    S = jnp.sum(jnp.where(above, probs, 0.0), axis=-1, keepdims=True)
+    tie = keys == k_b
+    tie_rank = jnp.cumsum(tie.astype(jnp.float32), axis=-1) - tie
+    keep_tie = tie & (S + tie_rank * probs <= p)
+    rank0 = jax.nn.one_hot(jnp.argmax(logits, axis=-1), V, dtype=bool)
+    return ~(above | keep_tie | rank0)
+
+
 class AutoRegressiveNucleusSampling:
     def __init__(self, eos_index: int, max_steps: int = 30,
                  nucleus_size: float = 0.9):
@@ -39,19 +106,13 @@ class AutoRegressiveNucleusSampling:
             logits = logits.astype(jnp.float32)
             V = logits.shape[-1]
 
-            # Top-p on the RAW logits: sort desc, cumulative softmax, drop
-            # the tail strictly beyond p but always keep rank 0. `(cum −
-            # probs) > p` is exactly the reference's shift-right rule
-            # (nucleus_sampling.py:78-91).
-            sort_ix = jnp.argsort(-logits, axis=-1)
-            sorted_logits = jnp.take_along_axis(logits, sort_ix, axis=-1)
-            probs = jax.nn.softmax(sorted_logits, axis=-1)
-            cum = jnp.cumsum(probs, axis=-1)
-            drop_sorted = (cum - probs) > self.nucleus_size
-            drop_sorted = drop_sorted.at[:, 0].set(False)
-            # Scatter the drop mask back to vocab order.
-            drop = jnp.zeros_like(drop_sorted).at[
-                jnp.arange(B)[:, None], sort_ix].set(drop_sorted)
+            # Top-p on the RAW logits: the reference sorts desc, takes the
+            # cumulative softmax and drops the tail strictly beyond p,
+            # always keeping rank 0 (`(cum − probs) > p` is its
+            # shift-right rule, nucleus_sampling.py:78-91). `_topp_drop`
+            # computes the same set by threshold bisection — no (B, V)
+            # sort in the decode loop (see its docstring).
+            drop = _topp_drop(logits, self.nucleus_size)
             filtered = jnp.where(drop, NEG_INF, logits)
 
             # Repetition guard AFTER the tail-drop, like the reference
