@@ -99,7 +99,9 @@ def main(batch_size=1, decoder_name="beam"):
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
-    dec = "nucleus" if "--decoder" in sys.argv and "nucleus" in sys.argv \
-        else "beam"
-    main(int(argv[0]) if argv else 1, dec)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("batch_size", nargs="?", type=int, default=1)
+    ap.add_argument("--decoder", choices=("beam", "nucleus"), default="beam")
+    a = ap.parse_args()
+    main(a.batch_size, a.decoder)

@@ -28,7 +28,13 @@ from step_profile import classify, parse_trace  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("batch_size", nargs="?", type=int, default=32)
-    ap.add_argument("--calls", type=int, default=8)
+    def _at_least_two(v):
+        n = int(v)
+        if n < 2:  # call 0 warms the compile; calls 1.. are traced
+            raise argparse.ArgumentTypeError("--calls must be >= 2")
+        return n
+
+    ap.add_argument("--calls", type=_at_least_two, default=8)
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--decoder", choices=("beam", "nucleus"), default="beam")
     args = ap.parse_args()

@@ -194,6 +194,28 @@ def test_topk_small_matches_lax_top_k():
                                           np.asarray(got_v))
 
 
+def test_topk_small_true_inf_rows():
+    """True ±inf inputs (e.g. a vocab mask via log(0)): selection runs on
+    the uint32 key view, so a -inf winner still retires its index and the
+    returned indices stay distinct (float -inf masking would re-pick index
+    0 forever)."""
+    from virtex_tpu.utils.beam_search import _topk_small
+
+    rows = np.stack([
+        np.concatenate([[-np.inf, -np.inf, 5.0], np.full(61, -np.inf)]),
+        np.full(64, -np.inf),
+        np.concatenate([[np.inf, 3.0, np.inf], np.zeros(61)]),
+        np.concatenate([[-0.0, 0.0, -1.0], np.full(61, -np.inf)]),
+    ]).astype(np.float32)
+    for k in (1, 2, 4, 6):
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(rows), k)
+        got_v, got_i = _topk_small(jnp.asarray(rows), k)
+        np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+        np.testing.assert_array_equal(np.asarray(ref_v), np.asarray(got_v))
+        for b in range(rows.shape[0]):  # and indices must be distinct
+            assert len(set(np.asarray(got_i)[b].tolist())) == k
+
+
 def test_beam_search_unaffected_by_topk_threshold(monkeypatch):
     """Beam results are identical whichever top-k path is taken (a vocab
     large enough that the iterative path actually engages)."""

@@ -23,6 +23,8 @@ from typing import Any, Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+from .floatkeys import monotone_u32_keys
+
 StepFn = Callable[[jnp.ndarray, jnp.ndarray, Any], Tuple[jnp.ndarray, Any]]
 NEG_INF = -1e18
 REPETITION_PENALTY = -10000.0  # reference beam_search.py:156-157
@@ -40,18 +42,24 @@ def _topk_small(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     profiled at 67 ms/decode-call on the (32, 5, 10000) in-loop logprobs,
     ~43% of beam decode's device time — where k sequential
     ``argmax → mask → argmax`` linear passes read the array k times at VPU
-    bandwidth. Matches ``lax.top_k`` bit-exactly including tie order:
-    ``argmax`` picks the lowest index of a maximum, and masking removes one
-    winner per pass, which reproduces top_k's stable descending order.
+    bandwidth. Matches ``lax.top_k`` bit-exactly for any non-NaN input,
+    including tie order (``argmax`` picks the lowest index of a maximum,
+    reproducing top_k's stable descending order) and rows containing
+    ``-inf``: selection runs on the monotone uint32 key view, where taken
+    positions drop to key 0 — strictly below every real value's key — so
+    each pass always advances to a fresh index (masking the float with
+    ``-inf`` would be a no-op on a ``-inf`` winner and return duplicate
+    indices).
     """
+    keys = monotone_u32_keys(x, merge_zeros=False)  # lax.top_k: -0.0 < +0.0
     idx_range = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
     vals, idxs = [], []
     for _ in range(k):
-        i = jnp.argmax(x, axis=-1)
+        i = jnp.argmax(keys, axis=-1)
         v = jnp.take_along_axis(x, i[..., None], axis=-1)
         vals.append(v)
         idxs.append(i[..., None])
-        x = jnp.where(idx_range == i[..., None], -jnp.inf, x)
+        keys = jnp.where(idx_range == i[..., None], jnp.uint32(0), keys)
     return (jnp.concatenate(vals, axis=-1).astype(x.dtype),
             jnp.concatenate(idxs, axis=-1))
 

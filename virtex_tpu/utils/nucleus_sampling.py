@@ -5,8 +5,11 @@ Parity target: reference ``virtex/utils/nucleus_sampling.py:25-123`` —
 top-p 0.9 tail-drop over the sorted cumulative softmax (keeping at least the
 top token), −inf mask on the immediately preceding token (repetition
 guard), categorical sample, EOS latching. The reference masks rows with a
-per-row Python loop (``nucleus_sampling.py:95-101``); here the tail mask is
-computed fully vectorised and scattered back through the sort permutation.
+per-row Python loop (``nucleus_sampling.py:95-101``); here the drop mask is
+computed WITHOUT any vocab sort — :func:`_topp_drop` bisects the nucleus
+boundary on a monotone uint32 key view of the logits (the classic
+argsort → cumsum → scatter formulation was 33× slower on TPU; see its
+docstring and docs/design.md "Decoding").
 """
 from __future__ import annotations
 
@@ -15,21 +18,10 @@ from typing import Any, Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+from .floatkeys import monotone_u32_keys
+
 StepFn = Callable[[jnp.ndarray, jnp.ndarray, Any], Tuple[jnp.ndarray, Any]]
 NEG_INF = -1e18
-
-
-def _sort_keys(logits: jnp.ndarray) -> jnp.ndarray:
-    """Monotone uint32 view of float32 values: a > b (as floats, no NaNs)
-    iff key(a) > key(b). The IEEE-754 radix trick — negative floats get
-    all bits flipped, positives get the sign bit set. ``-0.0`` is first
-    mapped to ``+0.0`` (equal as floats, different bits) so both share one
-    key; an explicit select, because XLA folds ``x + 0.0`` to ``x``. Every
-    non-NaN key is > 0, so 0 is a safe below-everything sentinel."""
-    logits = jnp.where(logits == 0.0, 0.0, logits)
-    bits = jax.lax.bitcast_convert_type(logits, jnp.uint32)
-    neg = bits >= jnp.uint32(0x80000000)
-    return jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
 
 
 def _topp_drop(logits: jnp.ndarray, p: float) -> jnp.ndarray:
@@ -54,7 +46,7 @@ def _topp_drop(logits: jnp.ndarray, p: float) -> jnp.ndarray:
     """
     B, V = logits.shape
     probs = jax.nn.softmax(logits, axis=-1)
-    keys = _sort_keys(logits)
+    keys = monotone_u32_keys(logits, merge_zeros=True)  # ±0.0 tie by index
 
     def mass_above(tau):
         # Σ probs[key > τ]  (τ: (B, 1) uint32)
