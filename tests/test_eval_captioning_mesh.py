@@ -27,7 +27,8 @@ def workdir(tmp_path_factory):
     return d
 
 
-def run_eval(workdir, out_json, n_devices, serialization_dir):
+def run_eval(workdir, out_json, n_devices, serialization_dir,
+             extra_overrides=()):
     env = dict(os.environ)
     env["XLA_FLAGS"] = (
         f"--xla_force_host_platform_device_count={n_devices}")
@@ -50,6 +51,7 @@ def run_eval(workdir, out_json, n_devices, serialization_dir):
         "DATA.IMAGE_CROP_SIZE", "64",
         "MODEL.DECODER.BEAM_SIZE", "3",
         "MODEL.DECODER.MAX_DECODING_STEPS", "10",
+        *extra_overrides,
     ]
     proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
                           timeout=900)
@@ -63,5 +65,20 @@ def test_eval_captioning_mesh_matches_single_device(workdir, tmp_path):
                        str(tmp_path / "run8"))
     preds_1 = run_eval(workdir, str(tmp_path / "p1.json"), 1,
                        str(tmp_path / "run1"))
+    assert len(preds_8) == 8
+    assert preds_8 == preds_1
+
+
+def test_eval_captioning_mesh_matches_single_device_nucleus(workdir,
+                                                            tmp_path):
+    """Same contract for the stochastic decoder: the CLI's per-batch
+    fold_in seed is replicated over the mesh and JAX's counter-based PRNG
+    draws per logical index, so sharding the batch axis must not change
+    the sampled captions either."""
+    overrides = ("MODEL.DECODER.NAME", "nucleus_sampling")
+    preds_8 = run_eval(workdir, str(tmp_path / "n8.json"), 8,
+                       str(tmp_path / "nrun8"), overrides)
+    preds_1 = run_eval(workdir, str(tmp_path / "n1.json"), 1,
+                       str(tmp_path / "nrun1"), overrides)
     assert len(preds_8) == 8
     assert preds_8 == preds_1
