@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--calls", type=_at_least_two, default=8)
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--decoder", choices=("beam", "nucleus"), default="beam")
+    ap.add_argument("--params", choices=("bf16", "fp32"), default="bf16",
+                    help="bf16 (default) pre-casts the textual matmul "
+                         "params once per call (cast_decode_params, "
+                         "bit-identical); fp32 leaves the casts inside "
+                         "the 30-step loop for A/B")
     args = ap.parse_args()
 
     from virtex_tpu.utils.common import setup_compilation_cache
@@ -76,7 +81,8 @@ def main():
                  "batch_stats": variables["batch_stats"]}
 
     caption_fn = make_caption_fn(model, decoder,
-                                 sos_index=_C.DATA.SOS_INDEX)
+                                 sos_index=_C.DATA.SOS_INDEX,
+                                 cast_params=(args.params == "bf16"))
     pool = [jax.numpy.asarray(
         np.random.RandomState(i).rand(B, 224, 224, 3), jax.numpy.float32)
         for i in range(args.calls)]

@@ -173,3 +173,62 @@ def test_kv_cache_nucleus_equals_full_prefix_nucleus():
                                    state, jax.random.PRNGKey(3))
 
     np.testing.assert_array_equal(fast_preds, np.asarray(slow_preds))
+
+
+@pytest.mark.parametrize("kind", ["beam", "nucleus"])
+def test_bf16_param_precast_bit_identical(kind):
+    """cast_decode_params (default-on for bf16 models) must be a pure
+    layout optimization: pre-casting the textual matmul params to bf16
+    once reproduces EXACTLY the per-use fp32->bf16 casts flax would do
+    inside the decode loop.  fp32-dtype models must be left alone (the
+    guard in make_caption_fn), which the existing parity tests cover."""
+    from virtex_tpu.utils.nucleus_sampling import AutoRegressiveNucleusSampling
+
+    model = ForwardCaptioningModel(
+        visual=ResNetVisualBackbone("resnet18", dtype=jnp.bfloat16),
+        textual=TransformerTextualHead(
+            visual_feature_size=512, vocab_size=VOCAB, hidden_size=32,
+            num_layers=2, attention_heads=4, feedforward_size=64,
+            dropout=0.0, max_caption_length=MAXLEN, dtype=jnp.bfloat16))
+    rng = np.random.RandomState(7)
+    images = jnp.asarray(rng.rand(2, 32, 32, 3), jnp.float32)
+    tokens = rng.randint(4, VOCAB, (2, MAXLEN)).astype(np.int32)
+    tokens[:, 0] = 1
+    batch = {"image": images, "caption_tokens": jnp.asarray(tokens),
+             "noitpac_tokens": jnp.asarray(tokens[:, ::-1].copy()),
+             "caption_lengths": jnp.full((2,), MAXLEN, jnp.int32)}
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    if kind == "beam":
+        decoder = AutoRegressiveBeamSearch(eos_index=2, max_steps=MAXLEN,
+                                           beam_size=BEAMS)
+        args = ()
+    else:
+        decoder = AutoRegressiveNucleusSampling(eos_index=2,
+                                                max_steps=MAXLEN,
+                                                nucleus_size=0.9)
+        args = (jax.random.PRNGKey(3),)
+
+    cast = make_caption_fn(model, decoder, sos_index=1)  # default True
+    raw = make_caption_fn(model, decoder, sos_index=1, cast_params=False)
+    np.testing.assert_array_equal(np.asarray(cast(variables, images, *args)),
+                                  np.asarray(raw(variables, images, *args)))
+
+    # the cast itself: fp32 leaves under norms / output_bias stay fp32,
+    # matmul weights go bf16, values truncate exactly once
+    from virtex_tpu.engine.captioner import cast_decode_params
+    cv = cast_decode_params(variables)
+    t = cv["params"]["textual"]
+    l0 = t["transformer"]["layer_0"]
+    assert l0["self_attn"]["query"]["kernel"].dtype == jnp.bfloat16
+    assert l0["norm1"]["scale"].dtype == jnp.float32
+    assert t["output_bias"].dtype == jnp.float32
+    assert t["embedding"]["words"]["embedding"].dtype == jnp.bfloat16
+    assert t["embedding"]["layer_norm"]["scale"].dtype == jnp.float32
+    assert cv["batch_stats"] is variables["batch_stats"]
+    np.testing.assert_array_equal(
+        np.asarray(t["embedding"]["words"]["embedding"]),
+        np.asarray(variables["params"]["textual"]["embedding"]["words"]
+                   ["embedding"].astype(jnp.bfloat16)))

@@ -4,7 +4,11 @@ from virtex_tpu.engine.checkpointing import (
     load_checkpoint,
     load_model_variables,
 )
-from virtex_tpu.engine.captioner import decode_predictions, make_caption_fn
+from virtex_tpu.engine.captioner import (
+    cast_decode_params,
+    decode_predictions,
+    make_caption_fn,
+)
 from virtex_tpu.engine.train_state import TrainState
 from virtex_tpu.engine.trainer import (
     initialize_model,
@@ -19,6 +23,7 @@ __all__ = [
     "apply_backbone_weight_init",
     "load_checkpoint",
     "load_model_variables",
+    "cast_decode_params",
     "decode_predictions",
     "make_caption_fn",
     "TrainState",

@@ -18,9 +18,46 @@ import jax.numpy as jnp
 
 from virtex_tpu.utils.beam_search import AutoRegressiveBeamSearch
 
+# Param leaves that are COMPUTED in fp32 during decode and must not be
+# pre-cast: LayerNorm modules (built with dtype=float32) and the output
+# bias (added to the f32-upcast logits, textual_heads.py output_logits).
+_FP32_DECODE_PARAMS = ("norm1", "norm2", "norm3", "final_norm",
+                       "layer_norm", "output_bias")
+
+
+def cast_decode_params(variables: dict) -> dict:
+    r"""One-time bf16 pre-cast of the textual matmul/embedding params.
+
+    Every Dense/Embed in the textual stack runs with ``dtype=bfloat16,
+    param_dtype=float32`` — flax ``promote_dtype`` casts these leaves
+    fp32→bf16 at *each use*, i.e. on every one of the ~30 decode-loop
+    steps. Casting them once up front is **bit-identical** (the same
+    deterministic fp32→bf16 truncation, applied once instead of per
+    step) and halves the per-step weight HBM traffic of the
+    weight-streaming-bound decode loop.
+
+    Kept fp32: leaves in :data:`_FP32_DECODE_PARAMS` (see above), the
+    whole CNN subtree (``SubsampledBatchNorm`` folds ``scale *
+    rsqrt(var+eps)`` in fp32 *before* casting, and ``encode_visual``
+    runs once per call — nothing to save), and ``batch_stats``.
+    """
+    from jax.tree_util import tree_map_with_path
+
+    def cast(path, leaf):
+        keys = [k.key for k in path if hasattr(k, "key")]
+        if "textual" not in keys or leaf.dtype != jnp.float32:
+            return leaf
+        if any(k in _FP32_DECODE_PARAMS for k in keys):
+            return leaf
+        return leaf.astype(jnp.bfloat16)
+
+    return {**variables,
+            "params": tree_map_with_path(cast, variables["params"])}
+
 
 def make_caption_fn(model, decoder, sos_index: int = 1,
-                    prefix_mode: str = "reference", mesh=None):
+                    prefix_mode: str = "reference", mesh=None,
+                    cast_params: bool = True):
     r"""Build a jittable ``(variables, images[, rng]) -> predictions`` fn.
 
     ``model`` must expose ``encode_visual`` / ``init_decode`` /
@@ -53,8 +90,19 @@ def make_caption_fn(model, decoder, sos_index: int = 1,
 
     Nucleus sampling always keeps SOS in the prefix — the reference does
     too (``nucleus_sampling.py:119`` strips it only at the end).
+
+    ``cast_params`` (default True): pre-cast the textual matmul params to
+    bf16 once per call via :func:`cast_decode_params` — bit-identical
+    outputs (the modules cast fp32→bf16 at every use anyway), but the
+    cast happens once instead of on each of the ~30 decode-loop steps.
     """
     is_beam = isinstance(decoder, AutoRegressiveBeamSearch)
+    # The pre-cast is only bit-identical when the textual stack actually
+    # COMPUTES in bf16 (fp32-dtype models — e.g. small parity-test builds —
+    # would truncate their weights instead of reproducing the per-use cast).
+    cast_params = (cast_params
+                   and getattr(getattr(model, "textual", None), "dtype", None)
+                   == jnp.bfloat16)
     if prefix_mode not in ("reference", "sos"):
         raise ValueError(f"unknown prefix_mode {prefix_mode!r}")
     rebase = is_beam and prefix_mode == "reference"
@@ -85,6 +133,11 @@ def make_caption_fn(model, decoder, sos_index: int = 1,
         return logits, caches
 
     def caption_fn(variables, images, rng: Optional[jax.Array] = None):
+        if cast_params:
+            # Once per CALL (outside the decode while_loop): bit-identical
+            # bf16 pre-cast of the textual matmul params — see
+            # cast_decode_params. Callers keep passing fp32 variables.
+            variables = cast_decode_params(variables)
         grid = model.apply(variables, images, method="encode_visual")
         B = images.shape[0]
         # Caches are built from the UNTILED grid: visual_projection and the
