@@ -211,15 +211,25 @@ def test_bf16_param_precast_bit_identical(kind):
                                                 nucleus_size=0.9)
         args = (jax.random.PRNGKey(3),)
 
+    # guard against a vacuous pass: the captioner must actually reach
+    # cast_decode_params at trace time (not silently skip the cast)
+    from unittest import mock
+
+    from virtex_tpu.engine import captioner as captioner_mod
+    from virtex_tpu.engine.captioner import cast_decode_params
+
     cast = make_caption_fn(model, decoder, sos_index=1)  # default True
     raw = make_caption_fn(model, decoder, sos_index=1, cast_params=False)
-    np.testing.assert_array_equal(np.asarray(cast(variables, images, *args)),
+    with mock.patch.object(captioner_mod, "cast_decode_params",
+                           wraps=cast_decode_params) as spy:
+        cast_preds = np.asarray(cast(variables, images, *args))
+    assert spy.call_count >= 1
+    np.testing.assert_array_equal(cast_preds,
                                   np.asarray(raw(variables, images, *args)))
 
     # the cast itself: fp32 leaves under norms / output_bias stay fp32,
     # matmul weights go bf16, values truncate exactly once
-    from virtex_tpu.engine.captioner import cast_decode_params
-    cv = cast_decode_params(variables)
+    cv = cast_decode_params(variables, model)
     t = cv["params"]["textual"]
     l0 = t["transformer"]["layer_0"]
     assert l0["self_attn"]["query"]["kernel"].dtype == jnp.bfloat16
@@ -232,3 +242,14 @@ def test_bf16_param_precast_bit_identical(kind):
         np.asarray(t["embedding"]["words"]["embedding"]),
         np.asarray(variables["params"]["textual"]["embedding"]["words"]
                    ["embedding"].astype(jnp.bfloat16)))
+
+    # non-bf16-compute models must come back untouched (the guard lives
+    # IN the helper — public callers get it too)
+    fp32_model = ForwardCaptioningModel(
+        visual=ResNetVisualBackbone("resnet18", dtype=jnp.float32),
+        textual=TransformerTextualHead(
+            visual_feature_size=512, vocab_size=VOCAB, hidden_size=32,
+            num_layers=2, attention_heads=4, feedforward_size=64,
+            dropout=0.0, max_caption_length=MAXLEN, dtype=jnp.float32))
+    assert cast_decode_params(variables, fp32_model) is variables
+    assert cast_decode_params(variables, object()) is variables

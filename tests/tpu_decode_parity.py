@@ -112,8 +112,10 @@ def main() -> int:
         failures += 0 if ok else 1
 
     # --- top-p drop mask (nucleus) ---
-    finite = x[:8]  # -inf rows are exercised by top-k; softmax oracle
-    fj = jnp.asarray(finite)  # stays finite here
+    # true -inf rows are exercised by top-k; the softmax oracle needs
+    # finite rows (NEG_INF=-1e18 floods are finite and stay in)
+    finite = x[~np.isinf(x).any(axis=1)]
+    fj = jnp.asarray(finite)
     for p in (1e-4, 0.3, 0.9, 0.999):
         got = np.asarray(jax.jit(lambda a, p=p: _topp_drop(a, p))(fj))
         want = _oracle_topp_drop(finite, p)

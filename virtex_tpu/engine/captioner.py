@@ -25,7 +25,7 @@ _FP32_DECODE_PARAMS = ("norm1", "norm2", "norm3", "final_norm",
                        "layer_norm", "output_bias")
 
 
-def cast_decode_params(variables: dict) -> dict:
+def cast_decode_params(variables: dict, model) -> dict:
     r"""One-time bf16 pre-cast of the textual matmul/embedding params.
 
     Every Dense/Embed in the textual stack runs with ``dtype=bfloat16,
@@ -36,11 +36,20 @@ def cast_decode_params(variables: dict) -> dict:
     step) and halves the per-step weight HBM traffic of the
     weight-streaming-bound decode loop.
 
+    ``model`` is the owning model: the cast is only bit-identical when
+    the textual stack actually COMPUTES in bf16, so for any other
+    ``model.textual.dtype`` (e.g. the fp32 parity-test builds, which
+    would silently truncate their weights) ``variables`` is returned
+    unchanged.
+
     Kept fp32: leaves in :data:`_FP32_DECODE_PARAMS` (see above), the
     whole CNN subtree (``SubsampledBatchNorm`` folds ``scale *
     rsqrt(var+eps)`` in fp32 *before* casting, and ``encode_visual``
     runs once per call — nothing to save), and ``batch_stats``.
     """
+    if (getattr(getattr(model, "textual", None), "dtype", None)
+            != jnp.bfloat16):
+        return variables
     from jax.tree_util import tree_map_with_path
 
     def cast(path, leaf):
@@ -97,12 +106,6 @@ def make_caption_fn(model, decoder, sos_index: int = 1,
     cast happens once instead of on each of the ~30 decode-loop steps.
     """
     is_beam = isinstance(decoder, AutoRegressiveBeamSearch)
-    # The pre-cast is only bit-identical when the textual stack actually
-    # COMPUTES in bf16 (fp32-dtype models — e.g. small parity-test builds —
-    # would truncate their weights instead of reproducing the per-use cast).
-    cast_params = (cast_params
-                   and getattr(getattr(model, "textual", None), "dtype", None)
-                   == jnp.bfloat16)
     if prefix_mode not in ("reference", "sos"):
         raise ValueError(f"unknown prefix_mode {prefix_mode!r}")
     rebase = is_beam and prefix_mode == "reference"
@@ -135,9 +138,10 @@ def make_caption_fn(model, decoder, sos_index: int = 1,
     def caption_fn(variables, images, rng: Optional[jax.Array] = None):
         if cast_params:
             # Once per CALL (outside the decode while_loop): bit-identical
-            # bf16 pre-cast of the textual matmul params — see
-            # cast_decode_params. Callers keep passing fp32 variables.
-            variables = cast_decode_params(variables)
+            # bf16 pre-cast of the textual matmul params — no-op for
+            # non-bf16 models (guard inside cast_decode_params). Callers
+            # keep passing fp32 variables.
+            variables = cast_decode_params(variables, model)
         grid = model.apply(variables, images, method="encode_visual")
         B = images.shape[0]
         # Caches are built from the UNTILED grid: visual_projection and the
