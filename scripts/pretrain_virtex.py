@@ -105,6 +105,23 @@ def main(_A) -> None:
     mesh = create_mesh(data=_C.PARALLEL.DATA, model=_C.PARALLEL.MODEL)
     num_hosts = dist.get_world_size()
     per_host_batch = _C.OPTIM.BATCH_SIZE // num_hosts
+    # Gradient accumulation (OPTIM.GRAD_ACCUM_STEPS): BATCH_SIZE stays the
+    # true global batch; each iteration scans `accum` micro-batches inside
+    # one jitted step (engine/trainer.py). Loader batches keep the per-host
+    # size — only the device layout changes, so resume accounting below is
+    # untouched.
+    accum = _C.OPTIM.GRAD_ACCUM_STEPS
+    if per_host_batch % accum != 0:
+        raise ValueError(
+            f"per-host batch {per_host_batch} not divisible by "
+            f"OPTIM.GRAD_ACCUM_STEPS={accum}")
+
+    def to_micro(host_batch):
+        """(B, ...) host leaves -> (accum, B/accum, ...) micro-step layout."""
+        if accum == 1:
+            return host_batch
+        return {k: v.reshape((accum, v.shape[0] // accum) + v.shape[1:])
+                for k, v in host_batch.items()}
 
     # ----------------------------------------------------------------- data
     train_dataset = PretrainingDatasetFactory.from_config(_C, split="train")
@@ -122,7 +139,12 @@ def main(_A) -> None:
     # ---------------------------------------------------------------- model
     model = PretrainingModelFactory.from_config(_C)
     train_iter = iter(train_loader)
-    sample = shard_batch(next(train_iter), mesh)
+    first_host_batch = next(train_iter)
+    # Init traces on ONE micro-batch's shapes (the shapes the scanned train
+    # step sees); with accum == 1 this is the whole batch, as before.
+    init_batch = {k: v[: per_host_batch // accum]
+                  for k, v in first_host_batch.items()}
+    sample = shard_batch(init_batch, mesh)
     rng = jax.random.PRNGKey(_C.RANDOM_SEED)
     with mesh:
         variables = initialize_model(model, sample, rng, mesh)
@@ -132,7 +154,7 @@ def main(_A) -> None:
     # so a checkpoint restore into this template keeps one device set.
     state = place_state(state, mesh)
 
-    train_step = make_train_step(model, tx, mesh)
+    train_step = make_train_step(model, tx, mesh, accum_steps=accum)
     eval_step = make_eval_step(model, mesh)
 
     ckpt_mgr = CheckpointManager(_A.serialization_dir, keep_recent=100)
@@ -163,8 +185,15 @@ def main(_A) -> None:
     # ------------------------------------------------------------- hot loop
     # Fresh runs train on the already-fetched init batch (stream batch #1);
     # resumed runs refetch from the restored stream position.
-    batch = (sample if start_iteration == 0
-             else shard_batch(next(train_iter), mesh))
+    if start_iteration == 0:
+        # accum == 1: init_batch IS the full first batch — reuse its device
+        # copy; otherwise re-lay the first batch out in micro layout.
+        batch = (sample if accum == 1
+                 else shard_batch(to_micro(first_host_batch), mesh,
+                                  micro=True))
+    else:
+        batch = shard_batch(to_micro(next(train_iter)), mesh,
+                            micro=accum > 1)
     tracing = False
     with mesh:
         for iteration in range(start_iteration + 1,
@@ -178,7 +207,8 @@ def main(_A) -> None:
             timer.tic()
             state, metrics = train_step(state, batch, rng)
             # Overlap: fetch the next host batch while the device step runs.
-            batch = shard_batch(next(train_iter), mesh)
+            batch = shard_batch(to_micro(next(train_iter)), mesh,
+                                micro=accum > 1)
             if iteration % _A.log_every == 0:
                 metrics = jax.device_get(metrics)  # sync point
             timer.toc()

@@ -319,6 +319,14 @@ def _default_config() -> CfgNode:
     _C.OPTIM.LOOKAHEAD.STEPS = 5
 
     _C.OPTIM.BATCH_SIZE = 256
+    # Micro-steps per optimizer update (TPU-native addition; the reference
+    # has no accumulation — it reaches batch 256 with 8 GPUs x 32). BATCH_SIZE
+    # stays the TRUE global batch: each iteration scans GRAD_ACCUM_STEPS
+    # micro-batches of BATCH_SIZE/GRAD_ACCUM_STEPS inside one jitted step,
+    # averaging gradients, so the reference's global-256 recipe runs on fewer
+    # chips. BN stats update per micro-batch — exactly the reference's
+    # per-GPU-BN semantics (SURVEY §7 hard parts).
+    _C.OPTIM.GRAD_ACCUM_STEPS = 1
     _C.OPTIM.CNN_LR = 0.2
     _C.OPTIM.LR = 0.001
     _C.OPTIM.NUM_ITERATIONS = 500000

@@ -63,7 +63,8 @@ def donation_supported() -> bool:
 def make_train_step(model, tx: optax.GradientTransformation,
                     mesh: Optional[Mesh] = None,
                     donate: Optional[bool] = None,
-                    jit: bool = True) -> Callable:
+                    jit: bool = True,
+                    accum_steps: int = 1) -> Callable:
     """Build the jitted train step.
 
     With a mesh, the updated params are pinned to the tensor-parallel
@@ -71,7 +72,20 @@ def make_train_step(model, tx: optax.GradientTransformation,
     gradients and optimizer state keep the TP layout regardless of the
     input shardings (with ``model=1`` the rules degenerate to
     fully-replicated and the constraint is a no-op).
+
+    ``accum_steps > 1`` (``OPTIM.GRAD_ACCUM_STEPS``): gradient accumulation
+    — batch leaves must carry a leading micro-step axis
+    ``(accum_steps, batch, ...)`` (see ``shard_batch(..., micro=True)``).
+    One call still equals ONE reference iteration: a ``lax.scan`` runs the
+    micro-steps in-step (activation memory = one micro-batch), gradients are
+    averaged before the single optimizer update, and BN statistics update
+    sequentially per micro-batch — the reference's per-GPU BN semantics
+    (SURVEY §7 hard parts) with k virtual devices. The reference itself has
+    no accumulation (8 GPUs x 32 = 256); this is the TPU-native way to run
+    its global-256 recipe on fewer chips.
     """
+    if accum_steps < 1:
+        raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
@@ -101,6 +115,51 @@ def make_train_step(model, tx: optax.GradientTransformation,
             metrics[k] = v.astype(jnp.float32)
         return new_state, metrics
 
+    def accum_train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                         rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params, stats, mb, mb_rng):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": stats},
+                mb, train=True,
+                rngs={"dropout": mb_rng},
+                mutable=["batch_stats"])
+            return out["loss"], (out, mutated["batch_stats"])
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def micro_step(carry, xs):
+            stats, gacc = carry
+            mb, idx = xs
+            (loss, (out, new_stats)), grads = grad_fn(
+                state.params, stats, mb, jax.random.fold_in(step_rng, idx))
+            gacc = jax.tree.map(jnp.add, gacc, grads)
+            comps = {k: v.astype(jnp.float32)
+                     for k, v in out["loss_components"].items()}
+            return (new_stats, gacc), (loss.astype(jnp.float32), comps)
+
+        zeros = jax.tree.map(jnp.zeros_like, state.params)
+        (new_stats, gsum), (losses, comps) = jax.lax.scan(
+            micro_step, (state.batch_stats, zeros),
+            (batch, jnp.arange(accum_steps)))
+        grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if mesh is not None:
+            params = jax.lax.with_sharding_constraint(
+                params, param_sharding(params, mesh))
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_stats,
+                                  opt_state=opt_state)
+        metrics = {"loss": losses.mean(),
+                   "grad_norm": optax.global_norm(grads).astype(jnp.float32)}
+        for k, v in comps.items():
+            metrics[k] = v.mean()
+        return new_state, metrics
+
+    if accum_steps > 1:
+        train_step = accum_train_step
     if not jit:
         return train_step
     if donate is None:

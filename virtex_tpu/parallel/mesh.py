@@ -53,9 +53,15 @@ def create_mesh(data: int = -1, model: int = 1,
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis; replicate the rest."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+def batch_sharding(mesh: Mesh, micro: bool = False) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis; replicate the rest.
+
+    ``micro=True`` is the gradient-accumulation layout: leaves are
+    ``(accum_steps, batch, ...)`` with the micro-step axis replicated and the
+    batch axis (dim 1) sharded — every device sees all micro-steps of its own
+    batch shard, so the train step's ``lax.scan`` needs no resharding.
+    """
+    return NamedSharding(mesh, P(None, DATA_AXIS) if micro else P(DATA_AXIS))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -96,9 +102,10 @@ def param_sharding(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(one, params)
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, micro: bool = False) -> Any:
     """Lay a host batch out on the mesh with the batch dim sharded over
-    'data'.
+    'data' (``micro=True``: ``(accum_steps, batch, ...)`` leaves, dim 1
+    sharded — see :func:`batch_sharding`).
 
     Single-host: plain ``device_put``. Multi-host: each host passes its
     LOCAL slice of the global batch and
@@ -106,7 +113,7 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     array (the DistributedSampler replacement — each host reads only its
     shard, SURVEY §5.8).
     """
-    sharding = batch_sharding(mesh)
+    sharding = batch_sharding(mesh, micro=micro)
     if jax.process_count() > 1:
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(sharding, x),
