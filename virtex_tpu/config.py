@@ -288,10 +288,16 @@ def _default_config() -> CfgNode:
     # (modules/resnet.py SpaceToDepthStem). Exact same math and param tree;
     # only the XLA kernel layout changes.
     _C.MODEL.VISUAL.STEM_S2D = False
+    # TPU knob: rematerialise each residual block's activations in backward
+    # (jax.checkpoint) — trades a second forward for ~per-block activation
+    # HBM. Bit-exact; for large-batch / deep-backbone memory pressure.
+    _C.MODEL.VISUAL.REMAT = False
 
     _C.MODEL.TEXTUAL = CfgNode()
     _C.MODEL.TEXTUAL.NAME = "transdec_postnorm::L1_H2048_A32_F8192"
     _C.MODEL.TEXTUAL.DROPOUT = 0.1
+    # Same knob for the transformer stack (per decoder layer).
+    _C.MODEL.TEXTUAL.REMAT = False
 
     _C.MODEL.DECODER = CfgNode()
     _C.MODEL.DECODER.NAME = "beam_search"

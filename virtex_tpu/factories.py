@@ -213,7 +213,8 @@ class VisualBackboneFactory(Factory):
         return cls.create(_C.MODEL.VISUAL.NAME,
                           frozen=_C.MODEL.VISUAL.FROZEN, dtype=dtype,
                           bn_stat_stride=_C.MODEL.VISUAL.BN_STAT_STRIDE,
-                          stem_s2d=_C.MODEL.VISUAL.STEM_S2D)
+                          stem_s2d=_C.MODEL.VISUAL.STEM_S2D,
+                          remat=_C.MODEL.VISUAL.REMAT)
 
 
 class TextualHeadFactory(Factory):
@@ -257,6 +258,7 @@ class TextualHeadFactory(Factory):
             padding_idx=_C.DATA.UNK_INDEX,
             bidirectional=bidirectional,
             dtype=dtype,
+            remat=_C.MODEL.TEXTUAL.REMAT,
         )
 
 

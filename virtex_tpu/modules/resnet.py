@@ -165,6 +165,11 @@ class ResNet(nn.Module):
     # Space-to-depth stem (see SpaceToDepthStem): weight-equivalent MXU
     # layout for the stride-2 stem conv. Same param tree either way.
     stem_s2d: bool = False
+    # Rematerialise each residual block in backward (jax.checkpoint):
+    # activation HBM ~ one block instead of the whole trunk, at the cost of
+    # a second forward pass in backward. Bit-exact; param tree and BN-stat
+    # updates unchanged (verified in tests/test_remat.py).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -192,13 +197,14 @@ class ResNet(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         expansion = self.block_cls.expansion
+        block_cls = nn.remat(self.block_cls) if self.remat else self.block_cls
         in_planes = self.num_filters
         for stage, num_blocks in enumerate(self.stage_sizes):
             planes = self.num_filters * (2 ** stage)
             for block in range(num_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 needs_down = stride != 1 or in_planes != planes * expansion
-                x = self.block_cls(
+                x = block_cls(
                     planes=planes, stride=stride, downsample=needs_down,
                     conv=conv, norm=norm, base_width=self.base_width,
                     groups=self.groups,
@@ -229,9 +235,10 @@ def feature_size(name: str) -> int:
 
 
 def make_resnet(name: str, dtype: jnp.dtype = jnp.bfloat16,
-                bn_stat_stride: int = 1, stem_s2d: bool = False) -> ResNet:
+                bn_stat_stride: int = 1, stem_s2d: bool = False,
+                remat: bool = False) -> ResNet:
     if name not in _RESNET_DEFS:
         raise ValueError(
             f"Unknown resnet {name!r}; supported: {sorted(_RESNET_DEFS)}")
     return ResNet(dtype=dtype, bn_stat_stride=bn_stat_stride,
-                  stem_s2d=stem_s2d, **_RESNET_DEFS[name])
+                  stem_s2d=stem_s2d, remat=remat, **_RESNET_DEFS[name])

@@ -76,6 +76,7 @@ class TransformerTextualHead(nn.Module):
     padding_idx: int = 0
     bidirectional: bool = False
     dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False  # per-layer activation remat (modules/transformer.py)
 
     def setup(self):
         self.visual_projection = nn.Dense(
@@ -89,12 +90,12 @@ class TransformerTextualHead(nn.Module):
         self.transformer = TransformerDecoder(
             self.num_layers, self.hidden_size, self.attention_heads,
             self.feedforward_size, self.dropout, self.norm_type, self.dtype,
-            name="transformer")
+            remat=self.remat, name="transformer")
         if self.bidirectional:
             self.backward_transformer = TransformerDecoder(
                 self.num_layers, self.hidden_size, self.attention_heads,
                 self.feedforward_size, self.dropout, self.norm_type,
-                self.dtype, name="backward_transformer")
+                self.dtype, remat=self.remat, name="backward_transformer")
         # Output projection = embedding.attend (weight-tied) + bias.
         self.output_bias = self.param(
             "output_bias", nn.initializers.zeros, (self.vocab_size,),

@@ -244,12 +244,19 @@ class TransformerDecoder(nn.Module):
     dropout: float = 0.1
     norm_type: str = "post"
     dtype: jnp.dtype = jnp.bfloat16
+    # Rematerialise each layer's activations in backward (jax.checkpoint):
+    # trades recompute FLOPs for activation HBM — for deep/wide heads at
+    # large batch. Bit-exact (same ops replayed, same dropout rng); the
+    # param tree, decode path, and init_cache are untouched.
+    remat: bool = False
 
     def setup(self):
+        layer_cls = (nn.remat(DecoderLayer, static_argnums=(4,))
+                     if self.remat else DecoderLayer)
         self.layers = [
-            DecoderLayer(self.hidden_size, self.num_heads,
-                         self.feedforward_size, self.dropout, self.norm_type,
-                         self.dtype, name=f"layer_{i}")
+            layer_cls(self.hidden_size, self.num_heads,
+                      self.feedforward_size, self.dropout, self.norm_type,
+                      self.dtype, name=f"layer_{i}")
             for i in range(self.num_layers)
         ]
         if self.norm_type == "pre":

@@ -38,11 +38,12 @@ class ResNetVisualBackbone(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     bn_stat_stride: int = 1  # see modules/normalization.py
     stem_s2d: bool = False  # see modules/resnet.py SpaceToDepthStem
+    remat: bool = False  # per-block activation remat (modules/resnet.py)
 
     def setup(self):
         self.cnn = make_resnet(self.name_or_arch, dtype=self.dtype,
                                bn_stat_stride=self.bn_stat_stride,
-                               stem_s2d=self.stem_s2d)
+                               stem_s2d=self.stem_s2d, remat=self.remat)
 
     def __call__(self, image: jnp.ndarray, train: bool = True) -> jnp.ndarray:
         # uint8 feed path: ImageNet normalization happens HERE on device
