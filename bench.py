@@ -19,6 +19,7 @@ import sys
 import time
 
 import jax
+import numpy as np
 
 REFERENCE_IMG_PER_SEC_PER_CHIP = 110.0
 
@@ -49,19 +50,35 @@ def main():
 
     # 128/chip probed best on v5e (1743 img/s vs 1569 @ 64; 256 plateaus;
     # 96/160/192 re-probed round 2 — see bench/xla_flags_sweep.results.jsonl).
+    # accum=2 × 128 runs the reference's global-256 recipe on one chip and
+    # measures FASTER than flat 128 (2042 vs 1958 img/s: the optimizer +
+    # lookahead update, pure HBM param traffic, amortizes over 2 micro-steps)
+    # while flat bs=256 collapses to 12 img/s (activation memory thrash).
     batch_size = int(os.environ.get("VIRTEX_BENCH_BATCH", 128)) * n_chips
-    batch = _synthetic_batch(batch_size, _C.DATA.IMAGE_CROP_SIZE,
-                             _C.DATA.MAX_CAPTION_LENGTH)
+    accum = int(os.environ.get("VIRTEX_BENCH_ACCUM", 2))
+    flat = _synthetic_batch(batch_size, _C.DATA.IMAGE_CROP_SIZE,
+                            _C.DATA.MAX_CAPTION_LENGTH)
+    if accum > 1:
+        # Distinct content per micro-step: the dev tunnel memoizes
+        # identical-argument executions (CLAUDE.md measurement rules).
+        batch = {k: np.stack([np.roll(v, i, axis=0) if i else v
+                              for i in range(accum)])
+                 for k, v in flat.items()}
+    else:
+        batch = flat
 
     def build(donate: bool):
-        sharded = shard_batch(batch, mesh)
-        variables = initialize_model(model, sharded, jax.random.PRNGKey(0),
-                                     mesh)
+        init_sharded = shard_batch(flat, mesh)
+        sharded = (shard_batch(batch, mesh, micro=True) if accum > 1
+                   else init_sharded)
+        variables = initialize_model(model, init_sharded,
+                                     jax.random.PRNGKey(0), mesh)
         tx = OptimizerFactory.from_config(_C, variables["params"])
         state = TrainState.create(variables["params"],
                                   variables["batch_stats"], tx)
         return sharded, state, make_train_step(model, tx, mesh,
-                                               donate=donate)
+                                               donate=donate,
+                                               accum_steps=accum)
 
     with mesh:
         # Donation halves parameter traffic on the update; real TPU
@@ -89,14 +106,14 @@ def main():
                 state, metrics = train_step(state, sharded, rng)
             float(metrics["loss"])  # value fetch = the real fence on the tunnel
 
-        iters = 20
+        iters = int(os.environ.get("VIRTEX_BENCH_ITERS", 20))
         t0 = time.perf_counter()
         for _ in range(iters):
             state, metrics = train_step(state, sharded, rng)
         float(metrics["loss"])  # value fetch = the real fence on the tunnel
         dt = time.perf_counter() - t0
 
-    img_per_sec = batch_size * iters / dt
+    img_per_sec = accum * batch_size * iters / dt
     per_chip = img_per_sec / n_chips
     print(json.dumps({
         "metric": "bicaptioning_R50_L1_H1024 pretrain throughput per chip",

@@ -1,0 +1,52 @@
+"""Driver-contract smoke for bench.py: it must print exactly ONE JSON line
+{"metric", "value", "unit", "vs_baseline"} and exit 0 — on both the default
+gradient-accumulation path (accum=2 ≙ the reference's global-256 recipe,
+reference `/root/reference/configs/_base_bicaptioning_R_50_L1_H1024.yaml`
+OPTIM.BATCH_SIZE: 256) and the flat accum=1 path.
+
+Runs as a subprocess on an 8-virtual-device CPU mesh with a shrunken model
+(`VIRTEX_BENCH_OVERRIDES`), because the virtual device count must be in
+XLA_FLAGS before jax initialises.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+TINY_OVERRIDES = " ".join([
+    "MODEL.VISUAL.NAME", "torchvision::resnet18",
+    "MODEL.VISUAL.FEATURE_SIZE", "512",
+    "MODEL.TEXTUAL.NAME", "transdec_postnorm::L1_H128_A4_F256",
+    "DATA.IMAGE_CROP_SIZE", "64",
+])
+
+
+def run_bench(accum: int):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    env["VIRTEX_BENCH_OVERRIDES"] = TINY_OVERRIDES
+    env["VIRTEX_BENCH_BATCH"] = "2"          # per chip -> global 16
+    env["VIRTEX_BENCH_ITERS"] = "2"
+    env["VIRTEX_BENCH_ACCUM"] = str(accum)
+    return subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          env=env, capture_output=True, text=True,
+                          timeout=900, cwd=REPO)
+
+
+@pytest.mark.parametrize("accum", [2, 1], ids=["accum2_default", "flat"])
+def test_bench_prints_one_json_line(accum):
+    proc = run_bench(accum)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, proc.stdout
+    row = json.loads(lines[0])
+    assert set(row) == {"metric", "value", "unit", "vs_baseline"}
+    assert row["unit"] == "images/sec/chip"
+    assert row["value"] > 0
+    assert row["vs_baseline"] == pytest.approx(row["value"] / 110.0, rel=1e-3)
