@@ -148,6 +148,10 @@ def main(_A) -> None:
     rng = jax.random.PRNGKey(_C.RANDOM_SEED)
     with mesh:
         variables = initialize_model(model, sample, rng, mesh)
+    # Only the shapes were needed; drop the device copy so a full
+    # micro-batch of images doesn't pin HBM for the whole run
+    # (first_host_batch itself is reused below as the first train batch).
+    del sample, init_batch
     tx = OptimizerFactory.from_config(_C, variables["params"])
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
     # Commit every leaf (incl. scalar step / opt-state counters) to the mesh

@@ -5,7 +5,8 @@ mesh — the exact config-driven path a real pod takes (VERDICT r2 #4):
   second CLI invocation with ``--resume-from latest`` continuing to the
   final iteration;
 - dp8 pure data-parallel, with OPTIM.GRAD_ACCUM_STEPS=2 (the accumulation
-  path through the CLI: micro-layout batches, scanned train step).
+  path through the CLI: micro-layout batches, scanned train step) and both
+  MODEL.*.REMAT knobs on (rematerialization under a mesh).
 
 Each run is a subprocess because the virtual device count must be in
 ``XLA_FLAGS`` before jax initialises (the suite's own process pins a
@@ -82,12 +83,17 @@ def test_pretrain_cli_dp4_tp2_with_resume(workdir, tmp_path):
     assert "Resumed from" in logs
 
 
-def test_pretrain_cli_dp8_grad_accum(workdir, tmp_path):
+def test_pretrain_cli_dp8_grad_accum_remat(workdir, tmp_path):
     # dp8 with OPTIM.BATCH_SIZE 16 / GRAD_ACCUM_STEPS 2: two micro-batches
-    # of 8 (1 image/device) scanned inside each of the 2 iterations.
+    # of 8 (1 image/device) scanned inside each of the 2 iterations. Both
+    # REMAT knobs are on so rematerialization is exercised under a mesh
+    # (jax.checkpoint wrapping the shard_map'd kernels' layers — the
+    # interaction CLAUDE.md's multi-device-kernels note warns about).
     run_dir = tmp_path / "run_dp8"
     proc = run_cli(workdir, run_dir, (8, 1), num_iterations=2,
                    extra_overrides=("OPTIM.BATCH_SIZE", "16",
-                                    "OPTIM.GRAD_ACCUM_STEPS", "2"))
+                                    "OPTIM.GRAD_ACCUM_STEPS", "2",
+                                    "MODEL.VISUAL.REMAT", "True",
+                                    "MODEL.TEXTUAL.REMAT", "True"))
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert (run_dir / "checkpoint_2").is_dir()

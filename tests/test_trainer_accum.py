@@ -1,9 +1,11 @@
 """Gradient accumulation (OPTIM.GRAD_ACCUM_STEPS / make_train_step's
 accum_steps): one call = one reference iteration; micro-batches are scanned
 in-step, gradients averaged before the single optimizer update, BN stats
-updated sequentially per micro-batch (the reference's per-GPU BN semantics,
-SURVEY §7 hard parts). The reference has no accumulation — this is the
-TPU-native way to run its global-256 recipe on fewer chips."""
+updated sequentially per micro-batch (the accumulation analogue of the
+reference's per-GPU BN — micro-batch-synced stats, EMA advancing per
+micro-step; see engine/trainer.py for the exact semantics). The reference
+has no accumulation — this is the TPU-native way to run its global-256
+recipe on fewer chips."""
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -330,8 +330,9 @@ def _default_config() -> CfgNode:
     # stays the TRUE global batch: each iteration scans GRAD_ACCUM_STEPS
     # micro-batches of BATCH_SIZE/GRAD_ACCUM_STEPS inside one jitted step,
     # averaging gradients, so the reference's global-256 recipe runs on fewer
-    # chips. BN stats update per micro-batch — exactly the reference's
-    # per-GPU-BN semantics (SURVEY §7 hard parts).
+    # chips. BN stats update per micro-batch (synced over the global
+    # micro-batch; EMA advances per micro-step) — the accumulation analogue
+    # of the reference's per-GPU BN, not a bit-match (see engine/trainer.py).
     _C.OPTIM.GRAD_ACCUM_STEPS = 1
     _C.OPTIM.CNN_LR = 0.2
     _C.OPTIM.LR = 0.001

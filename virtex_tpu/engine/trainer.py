@@ -79,13 +79,38 @@ def make_train_step(model, tx: optax.GradientTransformation,
     One call still equals ONE reference iteration: a ``lax.scan`` runs the
     micro-steps in-step (activation memory = one micro-batch), gradients are
     averaged before the single optimizer update, and BN statistics update
-    sequentially per micro-batch — the reference's per-GPU BN semantics
-    (SURVEY §7 hard parts) with k virtual devices. The reference itself has
-    no accumulation (8 GPUs x 32 = 256); this is the TPU-native way to run
-    its global-256 recipe on fewer chips.
+    sequentially per micro-batch. That is the accumulation *analogue* of
+    the reference's per-GPU BN (SURVEY §7 hard parts), not a bit-match:
+    each micro-batch's statistics are synchronized over the global
+    micro-batch (the 'data' axis), not kept per-device, and the running
+    EMA advances ``accum_steps`` times per iteration (effective
+    per-iteration decay ``momentum**k``) where the reference's 8
+    independent per-GPU EMAs (32-image samples, rank 0 saved) advance
+    once. The reference itself has no accumulation (8 GPUs x 32 = 256);
+    this is the TPU-native way to run its global-256 recipe on fewer
+    chips.
     """
     if accum_steps < 1:
         raise ValueError(f"accum_steps must be >= 1, got {accum_steps}")
+
+    def _apply_update(state: TrainState, grads, new_stats, loss, comps
+                      ) -> Tuple[TrainState, Dict[str, Any]]:
+        """Shared post-gradient tail: one optimizer update + metrics.
+
+        ``loss``/``comps`` values must already be fp32 scalars.
+        """
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        if mesh is not None:
+            params = jax.lax.with_sharding_constraint(
+                params, param_sharding(params, mesh))
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_stats,
+                                  opt_state=opt_state)
+        metrics = {"loss": loss,
+                   "grad_norm": optax.global_norm(grads).astype(jnp.float32)}
+        metrics.update(comps)
+        return new_state, metrics
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
@@ -101,19 +126,10 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
         (loss, (out, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        if mesh is not None:
-            params = jax.lax.with_sharding_constraint(
-                params, param_sharding(params, mesh))
-        new_state = state.replace(step=state.step + 1, params=params,
-                                  batch_stats=new_stats,
-                                  opt_state=opt_state)
-        metrics = {"loss": loss.astype(jnp.float32),
-                   "grad_norm": optax.global_norm(grads).astype(jnp.float32)}
-        for k, v in out["loss_components"].items():
-            metrics[k] = v.astype(jnp.float32)
-        return new_state, metrics
+        comps = {k: v.astype(jnp.float32)
+                 for k, v in out["loss_components"].items()}
+        return _apply_update(state, grads, new_stats,
+                             loss.astype(jnp.float32), comps)
 
     def accum_train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                          rng: jax.Array) -> Tuple[TrainState, Dict[str, Any]]:
@@ -144,19 +160,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
             micro_step, (state.batch_stats, zeros),
             (batch, jnp.arange(accum_steps)))
         grads = jax.tree.map(lambda g: g / accum_steps, gsum)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        if mesh is not None:
-            params = jax.lax.with_sharding_constraint(
-                params, param_sharding(params, mesh))
-        new_state = state.replace(step=state.step + 1, params=params,
-                                  batch_stats=new_stats,
-                                  opt_state=opt_state)
-        metrics = {"loss": losses.mean(),
-                   "grad_norm": optax.global_norm(grads).astype(jnp.float32)}
-        for k, v in comps.items():
-            metrics[k] = v.mean()
-        return new_state, metrics
+        return _apply_update(state, grads, new_stats, losses.mean(),
+                             {k: v.mean() for k, v in comps.items()})
 
     if accum_steps > 1:
         train_step = accum_train_step
