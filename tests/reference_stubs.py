@@ -1,0 +1,120 @@
+"""Shared import shims that make the FULL reference model zoo importable.
+
+The reference's model modules transitively import ``torchvision``,
+``sentencepiece`` and ``albumentations`` (none installed in this image)
+through ``virtex/data/__init__.py``. The model/optim code paths the parity
+tests exercise never *call* into those libraries, so minimal stand-ins
+unblock the import chain. ``torchvision.models.resnet18`` is the one stub
+that must be REAL: the reference's ``TorchvisionVisualBackbone``
+(``visual_backbones.py:20-75``) instantiates it and iterates
+``named_children()`` up to ``layer4``, so we provide a faithful torch
+ResNet-18 whose state-dict surface is pinned against the torchvision layout
+fixture (``torchvision_stub.make_torch_resnet18_sd``) by
+``test_train_trajectory_parity.py``.
+
+Import this module BEFORE ``import virtex.*``:
+
+    from reference_stubs import install_reference_stubs, TorchResNet18
+    install_reference_stubs()
+"""
+import sys
+import types
+
+from torch import nn
+
+
+class BasicBlock(nn.Module):
+    def __init__(self, c_in, c_out, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(c_in, c_out, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(c_out)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(c_out, c_out, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(c_out)
+        self.downsample = None
+        if stride != 1 or c_in != c_out:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(c_in, c_out, 1, stride, bias=False),
+                nn.BatchNorm2d(c_out))
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        return self.relu(out + identity)
+
+
+class TorchResNet18(nn.Module):
+    """Child-module ORDER matters: the reference backbone forward iterates
+    ``named_children()`` and returns at ``layer4``."""
+
+    def __init__(self, zero_init_residual=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        chans = [(64, 64, 1), (64, 128, 2), (128, 256, 2), (256, 512, 2)]
+        for i, (c_in, c_out, stride) in enumerate(chans, start=1):
+            setattr(self, f"layer{i}", nn.Sequential(
+                BasicBlock(c_in, c_out, stride), BasicBlock(c_out, c_out)))
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(512, 1000)
+        if zero_init_residual:
+            for m in self.modules():
+                if isinstance(m, BasicBlock):
+                    nn.init.zeros_(m.bn2.weight)
+
+
+def _install_fake_torchvision():
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+
+    def resnet18(pretrained=False, zero_init_residual=False, **kw):
+        assert not pretrained
+        return TorchResNet18(zero_init_residual)
+
+    models.resnet18 = resnet18
+    tv.models = models
+    datasets = types.ModuleType("torchvision.datasets")
+    datasets.ImageNet = object  # downstream.py:11 imports it; never used here
+    tv.datasets = datasets
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.models", models)
+    sys.modules.setdefault("torchvision.datasets", datasets)
+
+
+def _install_fake_albumentations():
+    """``virtex.data.transforms`` subclasses albumentations transforms and
+    builds ``DEFAULT_IMAGE_TRANSFORM`` at module scope (transforms.py:1-97);
+    the model/optim path never applies them, so permissive no-op base
+    classes are enough to satisfy the import chain."""
+    class _T:
+        def __init__(self, *a, **k):
+            pass
+
+    alb = types.ModuleType("albumentations")
+    for name in ("BasicTransform", "ImageOnlyTransform", "RandomResizedCrop",
+                 "CenterCrop", "Resize", "SmallestMaxSize", "Normalize",
+                 "Compose", "HorizontalFlip", "ColorJitter"):
+        setattr(alb, name, type(name, (_T,), {}))
+    sys.modules.setdefault("albumentations", alb)
+
+
+def _install_fake_sentencepiece():
+    """The reference's ``virtex.data.tokenizers`` does ``import
+    sentencepiece`` at module scope (tokenizers.py:3) but nothing in the
+    model/optim path we exercise ever calls it — an empty module unblocks
+    the import chain."""
+    sp = types.ModuleType("sentencepiece")
+    sp.SentencePieceProcessor = object
+    sys.modules.setdefault("sentencepiece", sp)
+
+
+def install_reference_stubs():
+    """Idempotent (``sys.modules.setdefault``): real installations win."""
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    _install_fake_torchvision()
+    _install_fake_sentencepiece()
+    _install_fake_albumentations()

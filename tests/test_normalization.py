@@ -26,17 +26,59 @@ def test_stride1_matches_flax_batchnorm_train_and_eval():
     y_ours, m_ours = ours.apply(v_ours, x, mutable=["batch_stats"])
     y_ref, m_ref = ref.apply(v_ref, x, mutable=["batch_stats"])
     np.testing.assert_allclose(y_ours, y_ref, rtol=1e-5, atol=1e-5)
-    for key in ("mean", "var"):
-        np.testing.assert_allclose(m_ours["batch_stats"][key],
-                                   m_ref["batch_stats"][key],
-                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(m_ours["batch_stats"]["mean"],
+                               m_ref["batch_stats"]["mean"],
+                               rtol=1e-5, atol=1e-6)
+    # running var follows torch semantics: UNBIASED batch variance in the
+    # running average (flax tracks the biased one) — rescale flax's update
+    # by n/(n-1) to compare. init var is 1.0, momentum 0.9:
+    # ours = 0.9*1 + 0.1*var*n/(n-1); flax = 0.9*1 + 0.1*var.
+    n = x.size // x.shape[-1]
+    expected = 0.9 + (np.asarray(m_ref["batch_stats"]["var"]) - 0.9) \
+        * (n / (n - 1))
+    np.testing.assert_allclose(m_ours["batch_stats"]["var"], expected,
+                               rtol=1e-5, atol=1e-6)
 
-    # eval mode normalizes with the stored statistics
+    # eval mode normalizes with the stored statistics — same math as flax,
+    # given the same stats (our STORED var differs by Bessel's correction,
+    # so hand flax our stats)
     eval_ours = SubsampledBatchNorm(use_running_average=True)
     eval_ref = nn.BatchNorm(use_running_average=True)
     ye_ours = eval_ours.apply({**v_ours, **m_ours}, x)
-    ye_ref = eval_ref.apply({**v_ref, **m_ref}, x)
+    ye_ref = eval_ref.apply({"params": v_ref["params"],
+                             "batch_stats": m_ours["batch_stats"]}, x)
     np.testing.assert_allclose(ye_ours, ye_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_running_stats_match_torch_batchnorm():
+    """Multi-step running-stat parity with torch BatchNorm2d — the
+    reference's actual BN (virtex/modules/visual_backbones.py:43 uses
+    torchvision ResNets, i.e. nn.BatchNorm2d): biased var normalizes,
+    UNBIASED var enters the running average."""
+    import torch
+
+    rng = np.random.RandomState(0)
+    xs = [rng.randn(4, 6, 5, 5).astype(np.float32) * 2 + 0.5
+          for _ in range(3)]
+    tbn = torch.nn.BatchNorm2d(6, eps=1e-5, momentum=0.1)
+    tbn.train()
+    for x in xs:
+        tbn(torch.tensor(x))
+
+    bn = SubsampledBatchNorm(momentum=0.9, epsilon=1e-5)
+    v = bn.init(jax.random.PRNGKey(0), jnp.asarray(xs[0].transpose(0, 2, 3, 1)))
+    stats = v["batch_stats"]
+    for x in xs:
+        _, m = bn.apply({"params": v["params"], "batch_stats": stats},
+                        jnp.asarray(x.transpose(0, 2, 3, 1)),
+                        mutable=["batch_stats"])
+        stats = m["batch_stats"]
+    np.testing.assert_allclose(stats["mean"],
+                               tbn.running_mean.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(stats["var"],
+                               tbn.running_var.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_param_and_stat_names_match_converter_contract():

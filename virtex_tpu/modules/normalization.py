@@ -37,6 +37,14 @@ match ``nn.BatchNorm`` so checkpoint conversion (reference
 Statistics are computed over the *global* (sharded) batch — XLA inserts the
 cross-chip reduction from the batch sharding, i.e. sync-BN by construction
 (see ``engine/trainer.py`` note).
+
+Running-variance updates apply Bessel's correction (×n/(n−1), n = elements
+per channel in the stats sample) like torch ``BatchNorm2d`` — the reference's
+training semantics (torch ``_BatchNorm`` tracks the *unbiased* variance while
+normalizing with the biased one; flax tracks the biased one). At real batch
+sizes the factor is ~1+2.5e-6, but the 7-step training-trajectory parity gate
+(tests/test_train_trajectory_parity.py) resolves the difference on its 2×2
+layer4 grids.
 """
 from __future__ import annotations
 
@@ -109,10 +117,12 @@ class SubsampledBatchNorm(nn.Module):
                                               float(self.epsilon),
                                               self.dtype)
             if not self.is_initializing():
+                n = x.size // features
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value
-                                + (1.0 - self.momentum) * var)
+                                + (1.0 - self.momentum) * var
+                                * (n / max(n - 1, 1)))
             return y
         else:
             sample = x
@@ -139,10 +149,12 @@ class SubsampledBatchNorm(nn.Module):
             mean2 = jnp.mean(jnp.square(sf32), axis=reduce_axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
+                n = sample.size // features
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1.0 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value
-                                + (1.0 - self.momentum) * var)
+                                + (1.0 - self.momentum) * var
+                                * (n / max(n - 1, 1)))
 
         y = x.astype(self.dtype)
         stats_shape = (1,) * (x.ndim - 1) + (features,)

@@ -145,6 +145,20 @@ def convert_virtex_checkpoint(sd: Dict[str, np.ndarray],
     else:  # textual-only checkpoint (partial load)
         cnn_params, cnn_stats = {}, {}
 
+    if ("textual.visual_projection.weight" not in sd
+            and "textual.output.weight" in sd):
+        # LinearTextualHead (classification pretext tasks / "none" head,
+        # reference textual_heads.py:46-95): a single GAP→Linear.
+        textual_linear: Dict[str, Any] = {"output": {
+            "kernel": _t_lin(sd["textual.output.weight"]),
+            "bias": np.asarray(sd["textual.output.bias"]),
+        }}
+        return {
+            "params": {"visual": {"cnn": cnn_params},
+                       "textual": textual_linear},
+            "batch_stats": {"visual": {"cnn": cnn_stats}},
+        }
+
     textual: Dict[str, Any] = {
         "visual_projection": {
             "kernel": _t_lin(sd["textual.visual_projection.weight"]),
@@ -302,6 +316,13 @@ def export_virtex_checkpoint(variables: Dict[str, Any]
                                  stats["visual"]["cnn"],
                                  prefix="visual.cnn."))
     t = params["textual"]
+
+    if "visual_projection" not in t and "output" in t:
+        # LinearTextualHead (inverse of the convert-direction branch).
+        out["textual.output.weight"] = _f_lin(t["output"]["kernel"])
+        out["textual.output.bias"] = np.asarray(t["output"]["bias"],
+                                                np.float32)
+        return out
 
     def textual_shared(dst: str) -> Dict[str, np.ndarray]:
         words = np.asarray(t["embedding"]["words"]["embedding"], np.float32)
