@@ -190,11 +190,8 @@ def main(_A) -> None:
     # Fresh runs train on the already-fetched init batch (stream batch #1);
     # resumed runs refetch from the restored stream position.
     if start_iteration == 0:
-        # accum == 1: init_batch IS the full first batch — reuse its device
-        # copy; otherwise re-lay the first batch out in micro layout.
-        batch = (sample if accum == 1
-                 else shard_batch(to_micro(first_host_batch), mesh,
-                                  micro=True))
+        batch = shard_batch(to_micro(first_host_batch), mesh,
+                            micro=accum > 1)
     else:
         batch = shard_batch(to_micro(next(train_iter)), mesh,
                             micro=accum > 1)
