@@ -112,9 +112,31 @@ def _install_fake_sentencepiece():
 
 
 def install_reference_stubs():
-    """Idempotent (``sys.modules.setdefault``): real installations win."""
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
-    _install_fake_torchvision()
-    _install_fake_sentencepiece()
-    _install_fake_albumentations()
+    """Idempotent; real installations win (``find_spec`` guard, so a fake is
+    never registered when the genuine package is importable — the
+    ``setdefault`` alone only protected packages imported *before* us).
+
+    The reference tree goes at the END of ``sys.path``: it has top-level
+    ``hubconf.py``/``scripts/`` that would otherwise shadow this repo's own
+    top-level modules for every test collected after this one (the repo has
+    no ``virtex`` package, so ``import virtex.*`` still resolves to the
+    reference)."""
+    import importlib.util
+
+    def _importable(name):
+        if name in sys.modules:  # find_spec raises on spec-less fakes
+            return True
+        try:
+            return importlib.util.find_spec(name) is not None
+        except (ImportError, ValueError):
+            return False
+
+    if "/root/reference" in sys.path:
+        sys.path.remove("/root/reference")
+    sys.path.append("/root/reference")
+    if not _importable("torchvision"):
+        _install_fake_torchvision()
+    if not _importable("sentencepiece"):
+        _install_fake_sentencepiece()
+    if not _importable("albumentations"):
+        _install_fake_albumentations()

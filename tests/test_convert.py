@@ -269,7 +269,8 @@ def test_export_virtex_checkpoint_reverse_parity(prenorm):
     logits — models pretrained here flow back into reference tooling."""
     import sys
 
-    sys.path.insert(0, "/root/reference")
+    if "/root/reference" not in sys.path:  # END: no top-level shadowing
+        sys.path.append("/root/reference")
     try:
         from virtex.modules.textual_heads import TransformerDecoderTextualHead
     except Exception:

@@ -113,7 +113,8 @@ def test_cider_from_raw_strings_matches_reference_cider():
     import numpy as np
     import pytest
 
-    sys.path.insert(0, "/root/reference")
+    if "/root/reference" not in sys.path:  # END: no top-level shadowing
+        sys.path.append("/root/reference")
     try:
         from virtex.utils.metrics import cider as ref_cider
     except Exception:

@@ -51,8 +51,8 @@ def test_zoo_loads_torch_pth(tmp_path):
     import torch
 
     import sys
-    if "/root/reference" not in sys.path:
-        sys.path.insert(0, "/root/reference")
+    if "/root/reference" not in sys.path:  # END: no top-level shadowing
+        sys.path.append("/root/reference")
     try:
         from virtex.modules.textual_heads import TransformerDecoderTextualHead
     except Exception:

@@ -16,7 +16,10 @@ import torch
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/reference")
+# END of sys.path: the reference's top-level hubconf.py/scripts/ must not
+# shadow this repo's own top-level modules for later-collected tests.
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
 
 try:
     from virtex.modules.textual_heads import TransformerDecoderTextualHead

@@ -97,6 +97,15 @@ class SubsampledBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones(features, self.param_dtype))
 
+        def update_running(mean, var, n):
+            # torch _BatchNorm semantics: EMA of the UNBIASED variance
+            # (Bessel ×n/(n−1)), biased var used for normalization.
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * var
+                            * (n / max(n - 1, 1)))
+
         if self.use_running_average:
             mean = ra_mean.value
             var = ra_var.value
@@ -117,12 +126,7 @@ class SubsampledBatchNorm(nn.Module):
                                               float(self.epsilon),
                                               self.dtype)
             if not self.is_initializing():
-                n = x.size // features
-                ra_mean.value = (self.momentum * ra_mean.value
-                                 + (1.0 - self.momentum) * mean)
-                ra_var.value = (self.momentum * ra_var.value
-                                + (1.0 - self.momentum) * var
-                                * (n / max(n - 1, 1)))
+                update_running(mean, var, x.size // features)
             return y
         else:
             sample = x
@@ -149,12 +153,7 @@ class SubsampledBatchNorm(nn.Module):
             mean2 = jnp.mean(jnp.square(sf32), axis=reduce_axes)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
-                n = sample.size // features
-                ra_mean.value = (self.momentum * ra_mean.value
-                                 + (1.0 - self.momentum) * mean)
-                ra_var.value = (self.momentum * ra_var.value
-                                + (1.0 - self.momentum) * var
-                                * (n / max(n - 1, 1)))
+                update_running(mean, var, sample.size // features)
 
         y = x.astype(self.dtype)
         stats_shape = (1,) * (x.ndim - 1) + (features,)
