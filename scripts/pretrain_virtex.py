@@ -195,6 +195,9 @@ def main(_A) -> None:
     else:
         batch = shard_batch(to_micro(next(train_iter)), mesh,
                             micro=accum > 1)
+    # The host copy is on device now; don't pin a full host batch of images
+    # in RAM for the rest of the run.
+    del first_host_batch
     tracing = False
     with mesh:
         for iteration in range(start_iteration + 1,

@@ -66,17 +66,43 @@ class TorchResNet18(nn.Module):
                     nn.init.zeros_(m.bn2.weight)
 
 
+def _stub_module(name):
+    """A ``types.ModuleType`` with a real ``__spec__`` so in-process callers
+    of ``importlib.util.find_spec`` see a normal module instead of raising
+    ``ValueError`` on a spec-less fake."""
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 def _install_fake_torchvision():
-    tv = types.ModuleType("torchvision")
-    models = types.ModuleType("torchvision.models")
+    tv = _stub_module("torchvision")
+    models = _stub_module("torchvision.models")
 
     def resnet18(pretrained=False, zero_init_residual=False, **kw):
-        assert not pretrained
+        if pretrained:
+            # Same outcome a torchvision-less box gives (ImportError from
+            # ``import torchvision``), just deferred to the weights request:
+            # this stub has no model zoo to download from.
+            raise ImportError(
+                "reference_stubs torchvision stub: pretrained weights are "
+                "not available (real torchvision is not installed)")
         return TorchResNet18(zero_init_residual)
 
+    def _models_getattr(name):
+        # PEP 562 fallback: unknown arch → clear stub error. Must be
+        # AttributeError (not ImportError) so hasattr()/dunder probes like
+        # ``__file__`` behave normally.
+        raise AttributeError(
+            f"reference_stubs torchvision stub: models.{name} is not "
+            "provided (only resnet18; real torchvision is not installed)")
+
     models.resnet18 = resnet18
+    models.__getattr__ = _models_getattr
     tv.models = models
-    datasets = types.ModuleType("torchvision.datasets")
+    datasets = _stub_module("torchvision.datasets")
     datasets.ImageNet = object  # downstream.py:11 imports it; never used here
     tv.datasets = datasets
     sys.modules.setdefault("torchvision", tv)
@@ -93,7 +119,7 @@ def _install_fake_albumentations():
         def __init__(self, *a, **k):
             pass
 
-    alb = types.ModuleType("albumentations")
+    alb = _stub_module("albumentations")
     for name in ("BasicTransform", "ImageOnlyTransform", "RandomResizedCrop",
                  "CenterCrop", "Resize", "SmallestMaxSize", "Normalize",
                  "Compose", "HorizontalFlip", "ColorJitter"):
@@ -106,7 +132,7 @@ def _install_fake_sentencepiece():
     sentencepiece`` at module scope (tokenizers.py:3) but nothing in the
     model/optim path we exercise ever calls it — an empty module unblocks
     the import chain."""
-    sp = types.ModuleType("sentencepiece")
+    sp = _stub_module("sentencepiece")
     sp.SentencePieceProcessor = object
     sys.modules.setdefault("sentencepiece", sp)
 
