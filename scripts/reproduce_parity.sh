@@ -87,6 +87,12 @@ PY
          "MODEL.TEXTUAL.NAME" "transdec_postnorm::L1_H128_A4_F256"
          "DATA.IMAGE_CROP_SIZE" "64" )
 
+  say "[synthetic] tokenizer self-check rehearsal (golden write -> verify)"
+  python scripts/tokenizer_selfcheck.py --model "$WORKDIR/tok.model" \
+    --golden "$WORKDIR/tok_golden.json" --write-golden
+  python scripts/tokenizer_selfcheck.py --model "$WORKDIR/tok.model" \
+    --golden "$WORKDIR/tok_golden.json"
+
   say "[synthetic] short pretrain -> checkpoint (stands in for the published .pth)"
   python scripts/pretrain_virtex.py \
     --config configs/_base_bicaptioning_R_50_L1_H1024.yaml \
@@ -151,6 +157,16 @@ fi
 # ---------------------------------------------------------------------------
 [[ -n "$COCO_ROOT" && -n "$ZOO_DIR" ]] || {
   echo "--mode real needs --coco-root and --zoo-dir"; exit 2; }
+
+say "[0/5] tokenizer self-check (SP .model importer vs pinned golden)"
+# The merge reconstruction in virtex_tpu/data/tokenizers.py must match the
+# SentencePiece runtime on the real coco_10k.model before ANY quality number
+# is trusted (captions/CIDEr drift silently otherwise).
+TOKMODEL=$(python -c "import sys; sys.path.insert(0, '$REPO'); \
+from virtex_tpu.config import Config; \
+print(Config('$REPO/configs/$MODEL_CONFIG').DATA.TOKENIZER_MODEL)")
+python scripts/tokenizer_selfcheck.py --model "$TOKMODEL" \
+  --golden tests/fixtures/coco_10k_tokenizer_golden.json
 
 say "[1/5] fetch + convert $MODEL_NAME"
 export VIRTEX_TPU_ZOO_DIR="$ZOO_DIR"

@@ -1,0 +1,152 @@
+r"""
+Tokenizer self-check: verify the SentencePiece ``.model`` importer against
+the real model's behavior on a pinned caption list.
+
+The reference tokenizes through the SentencePiece C++ runtime
+(``virtex/data/tokenizers.py:20-21``); this build reconstructs the BPE
+merges from the proto's piece scores (``virtex_tpu/data/tokenizers.py``).
+If that reconstruction were wrong for the real ``coco_10k.model``, captions
+and CIDEr would drift silently — so the real-data closure
+(``scripts/reproduce_parity.sh``) runs this FIRST.
+
+Three modes, picked automatically:
+
+1. The ``sentencepiece`` python runtime is importable → encode the pinned
+   captions with BOTH tokenizers and diff them directly (strongest check).
+2. A committed golden exists (``--golden``) → compare against it.
+3. Neither → write a candidate golden next to ``--golden`` and print the
+   ``spm_encode`` command that validates it on any machine with the SP
+   runtime; exit 1 so the closure doesn't silently pass unchecked.
+
+Usage:
+    python scripts/tokenizer_selfcheck.py --model datasets/vocab/coco_10k.model \
+        [--golden tests/fixtures/coco_10k_tokenizer_golden.json] [--write-golden]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from virtex_tpu.data.tokenizers import (  # noqa: E402
+    SentencePieceBPETokenizer,
+    preprocess_caption,
+)
+
+# Pinned captions: plain prose, punctuation, digits, accents (NFKD-stripped
+# by preprocessing), rare words, and a non-latin char that should hit <unk>.
+PINNED_CAPTIONS = [
+    "a man riding a wave on top of a surfboard.",
+    "Two dogs are playing catch in a grassy park",
+    "A close up of a pizza with pepperoni, mushrooms and extra cheese!",
+    "an old-fashioned steam locomotive travelling through the countryside",
+    "Skiers race down a steep snow-covered slope at high speed.",
+    "a café table with two croissants and a glaß of juice",
+    "the number 42 bus stops near 5th avenue at 9:30 am",
+    "A giraffe stretches its neck to reach acacia leaves — impressive!",
+    "someone is skateboarding; their friend films it on a phone",
+    "élèves jouant au frisbee près de l'école",
+    "a zebra αβγ standing in a field",
+    "    whitespace   should  not   matter   ",
+]
+
+
+def encode_all(tok) -> list:
+    return [tok.encode(c) for c in PINNED_CAPTIONS]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", required=True,
+                    help="SentencePiece .model (or native JSON) to check")
+    ap.add_argument("--golden",
+                    default=os.path.join("tests", "fixtures",
+                                         "coco_10k_tokenizer_golden.json"),
+                    help="committed golden encodings to compare against")
+    ap.add_argument("--write-golden", action="store_true",
+                    help="(re)write the golden from the current importer "
+                         "output — only do this after mode-1 verification")
+    args = ap.parse_args()
+
+    tok = SentencePieceBPETokenizer(args.model)
+    ours = encode_all(tok)
+
+    # Mode 1: real SentencePiece runtime present → direct cross-check.
+    try:
+        import sentencepiece as spm  # type: ignore
+        have_spm = not args.model.endswith(".json")
+    except ImportError:
+        have_spm = False
+    if have_spm:
+        sp = spm.SentencePieceProcessor()
+        sp.Load(args.model)
+        theirs = [sp.EncodeAsIds(preprocess_caption(c))
+                  for c in PINNED_CAPTIONS]
+        bad = [i for i, (a, b) in enumerate(zip(ours, theirs)) if a != b]
+        if bad:
+            for i in bad:
+                print(f"MISMATCH caption[{i}] {PINNED_CAPTIONS[i]!r}\n"
+                      f"  importer: {ours[i]}\n  spm:      {theirs[i]}")
+            print(f"tokenizer_selfcheck: FAIL — {len(bad)}/"
+                  f"{len(PINNED_CAPTIONS)} captions diverge from the "
+                  f"SentencePiece runtime")
+            return 1
+        print(f"tokenizer_selfcheck: PASS — importer matches the "
+              f"SentencePiece runtime on all {len(PINNED_CAPTIONS)} pinned "
+              f"captions")
+        if args.write_golden:
+            _write_golden(args.golden, args.model, ours)
+        return 0
+
+    # Mode 2: committed golden.
+    if os.path.exists(args.golden) and not args.write_golden:
+        with open(args.golden) as f:
+            golden = json.load(f)
+        if golden.get("model") != os.path.basename(args.model):
+            print(f"tokenizer_selfcheck: golden is for "
+                  f"{golden.get('model')!r}, not "
+                  f"{os.path.basename(args.model)!r} — regenerate it "
+                  f"(--write-golden after an spm cross-check)")
+            return 1
+        bad = [i for i, (a, b) in enumerate(zip(ours, golden["encodings"]))
+               if a != b]
+        if bad:
+            for i in bad:
+                print(f"MISMATCH caption[{i}] {PINNED_CAPTIONS[i]!r}\n"
+                      f"  importer: {ours[i]}\n  golden:   "
+                      f"{golden['encodings'][i]}")
+            print(f"tokenizer_selfcheck: FAIL — {len(bad)}/"
+                  f"{len(PINNED_CAPTIONS)} captions diverge from the golden")
+            return 1
+        print(f"tokenizer_selfcheck: PASS — matches committed golden "
+              f"({len(PINNED_CAPTIONS)} captions)")
+        return 0
+
+    # Mode 3: no runtime, no golden → emit a candidate + the validation
+    # command; fail so the closure can't silently skip the check.
+    _write_golden(args.golden, args.model, ours)
+    if args.write_golden:
+        return 0
+    print("tokenizer_selfcheck: UNVERIFIED — no sentencepiece runtime and "
+          "no committed golden. Candidate golden written; validate it on a "
+          "machine with SentencePiece via:\n"
+          f"    pip install sentencepiece && python {__file__} "
+          f"--model {args.model}\n"
+          "then commit the golden.")
+    return 1
+
+
+def _write_golden(path: str, model: str, encodings: list) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump({"model": os.path.basename(model),
+                   "captions": PINNED_CAPTIONS,
+                   "encodings": encodings}, f, indent=1)
+    print(f"tokenizer_selfcheck: wrote golden {path}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,9 +86,15 @@ def _load_tokenizer_file(model_path: str) -> Tokenizer:
 
     The SP proto is parsed without the sentencepiece runtime (via the proto
     schema transformers ships); BPE merges are reconstructed from the piece
-    table — pieces are stored in merge-creation order, so every split of a
-    composite piece whose halves exist is a valid merge candidate, ranked by
-    the merged piece's id (the same extraction HF's converters use).
+    table. SentencePiece's BPE trainer records merge order in the piece
+    *scores* (each merged piece's score is the negated merge rank,
+    ``bpe_model_trainer.cc``), so candidate merges — every split of a
+    composite piece whose halves exist — are ranked by score (higher =
+    earlier), falling back to piece-id order only for degenerate protos
+    whose scores carry no order (all equal). Residual risk: a proto whose
+    scores were rewritten post-training loses merge order entirely; the
+    ``reproduce_parity.sh`` tokenizer self-check (encode pinned captions vs
+    a committed golden) is the end-to-end gate for real models.
     """
     with open(model_path, "rb") as f:
         head = f.read(64)
@@ -111,18 +117,31 @@ def _tokenizer_from_sentencepiece(model_path: str) -> Tokenizer:
     if model_type == 1:
         tok = Tokenizer(models.Unigram(pieces, unk_id=UNK_INDEX))
     else:
-        merges = []
-        for piece, pid in vocab.items():
-            if len(piece) < 2:
+        # Only NORMAL(1) / USER_DEFINED(4) pieces can be merge products;
+        # CONTROL/UNKNOWN/BYTE pieces (e.g. "[SOS]", "<0x41>") must not
+        # contribute splits even when their substrings happen to be pieces.
+        mergeable = {1, 4}
+        candidates = []
+        for pid, p in enumerate(proto.pieces):
+            piece, score = p.piece, p.score
+            if len(piece) < 2 or p.type not in mergeable:
                 continue
             for split in range(1, len(piece)):
                 left, right = piece[:split], piece[split:]
                 if left in vocab and right in vocab:
-                    merges.append((pid, vocab[left], vocab[right],
-                                   (left, right)))
-        merges = [m[3] for m in sorted(merges)]
+                    candidates.append((-score, pid, vocab[left],
+                                       vocab[right], (left, right)))
+        # SP-BPE merge order lives in the scores (negated merge rank →
+        # sort by -score ascending = earliest merge first). Hand-built or
+        # stripped protos may carry uniform scores; only then is piece-id
+        # order the best available proxy.
+        scores_ordered = len({c[0] for c in candidates}) > 1
+        key = (None if scores_ordered else (lambda c: c[1:4]))
+        merges = [c[4] for c in sorted(candidates, key=key)]
+        byte_fallback = bool(proto.trainer_spec.byte_fallback)
         tok = Tokenizer(models.BPE(vocab, merges, unk_token="<unk>",
-                                   fuse_unk=True))
+                                   fuse_unk=True,
+                                   byte_fallback=byte_fallback))
     tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="\u2581")
     tok.decoder = decoders.Metaspace(replacement="\u2581")
     return tok
