@@ -32,6 +32,17 @@ def main(_A) -> None:
     from virtex_tpu.engine import initialize_model, load_model_variables
     from virtex_tpu.factories import PretrainingModelFactory
     from virtex_tpu.utils.checkpoint_convert import export_virtex_checkpoint
+    from virtex_tpu.utils.common import (
+        apply_platform_override,
+        setup_compilation_cache,
+    )
+
+    # Honor a virtual-CPU-mesh run (site hooks may hijack $JAX_PLATFORMS):
+    # an orbax checkpoint written on an n-device mesh restores only onto a
+    # matching device set, so exporting from a CPU-mesh training run must
+    # itself run on the CPU mesh (caught by reproduce_parity.sh round 4).
+    apply_platform_override()
+    setup_compilation_cache()
 
     _C = Config(_A.config, _A.config_override)
     model = PretrainingModelFactory.from_config(_C)
