@@ -1,0 +1,76 @@
+"""Torch-free .pth interchange (round-4 verdict #5): reference checkpoints
+(torch>=1.6 zip pickles, `/root/reference/virtex/utils/checkpointing.py`)
+must be readable with zipfile+pickle+numpy alone — a TPU-native deployment
+has no torch. Torch is used here only to WRITE the fixtures."""
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from virtex_tpu.utils.checkpoint_convert import (  # noqa: E402
+    _read_pth_without_torch,
+    load_torch_checkpoint,
+)
+
+
+def _fixture_ckpt(tmp_path):
+    g = torch.Generator().manual_seed(0)
+    sd = {
+        "visual.cnn.conv1.weight": torch.randn(8, 3, 7, 7, generator=g),
+        "textual.output.bias": torch.randn(16, generator=g),
+        "half": torch.randn(4, 5, generator=g).half(),
+        "bf16": torch.randn(3, 3, generator=g).bfloat16(),
+        "longs": torch.arange(12, dtype=torch.int64).reshape(3, 4),
+        "flags": torch.tensor([True, False, True]),
+        "scalar": torch.tensor(3.5),
+        # non-contiguous: saved with transposed strides over the same storage
+        "transposed": torch.randn(4, 6, generator=g).t(),
+    }
+    path = str(tmp_path / "checkpoint_42.pth")
+    torch.save({"model": sd, "iteration": 42,
+                "optimizer": {"state": {}, "param_groups": [
+                    {"lr": 0.1, "params": [0, 1]}]}}, path)
+    return path, sd
+
+
+def test_pure_reader_matches_torch(tmp_path):
+    path, sd = _fixture_ckpt(tmp_path)
+    ckpt = _read_pth_without_torch(path)
+    assert ckpt["iteration"] == 42
+    for k, v in sd.items():
+        got = ckpt["model"][k]
+        want = v.detach().float().numpy() if v.dtype == torch.bfloat16 \
+            else v.detach().numpy()
+        np.testing.assert_array_equal(got, want, err_msg=k)
+    # bf16 upcast is exact (bf16 == upper half of fp32)
+    assert ckpt["model"]["bf16"].dtype == np.float32
+    assert ckpt["model"]["longs"].dtype == np.int64
+    assert ckpt["model"]["flags"].dtype == np.bool_
+
+
+def test_load_torch_checkpoint_with_torch_blocked(tmp_path, monkeypatch):
+    path, sd = _fixture_ckpt(tmp_path)
+    # `import torch` must not happen on the zip path: block it outright.
+    monkeypatch.setitem(sys.modules, "torch", None)
+    out = load_torch_checkpoint(path)
+    assert set(out) == set(sd)
+    np.testing.assert_array_equal(
+        out["visual.cnn.conv1.weight"],
+        sd["visual.cnn.conv1.weight"].numpy())
+    np.testing.assert_array_equal(out["transposed"],
+                                  sd["transposed"].numpy())
+
+
+def test_refuses_arbitrary_globals(tmp_path):
+    """The reader must not execute arbitrary pickle globals (it's fed
+    downloaded files): a pickle referencing os.system raises."""
+    import pickle
+    import zipfile
+    path = str(tmp_path / "evil.pth")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl",
+                    pickle.dumps(__import__("os").system))
+    with pytest.raises(pickle.UnpicklingError):
+        _read_pth_without_torch(path)

@@ -185,11 +185,146 @@ def convert_virtex_checkpoint(sd: Dict[str, np.ndarray],
     }
 
 
+# ---------------------------------------------------------------------------
+# Torch-free .pth reading. A TPU-native deployment has no torch, but the
+# reference's published checkpoints are torch-pickle zips
+# (``virtex/utils/checkpointing.py:127-174``) — a zip archive holding
+# ``<name>/data.pkl`` (the object graph, with persistent-id references to
+# storages) plus ``<name>/data/<key>`` raw little-endian storage bytes.
+# The reader below rebuilds tensors as numpy straight from those records.
+# ---------------------------------------------------------------------------
+
+_STORAGE_DTYPES = {
+    "FloatStorage": np.dtype("<f4"), "DoubleStorage": np.dtype("<f8"),
+    "HalfStorage": np.dtype("<f2"), "BFloat16Storage": np.dtype("<u2"),
+    "LongStorage": np.dtype("<i8"), "IntStorage": np.dtype("<i4"),
+    "ShortStorage": np.dtype("<i2"), "CharStorage": np.dtype("i1"),
+    "ByteStorage": np.dtype("u1"), "BoolStorage": np.dtype("?"),
+    "UntypedStorage": np.dtype("u1"),
+}
+
+
+class _OpaqueObject:
+    """Stand-in for non-tensor torch objects in the pickle graph (optimizer
+    state classes, backward hooks, …) — constructed and state-set without
+    error, carrying no data. Only the tensor-bearing entries matter here."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, *args, **kwargs):
+        return _OpaqueObject()
+
+    def __setstate__(self, state):
+        pass
+
+
+def _read_pth_without_torch(path: str):
+    """Parse a torch>=1.6 zip-format ``.pth`` with zipfile+pickle+numpy
+    only. Tensors come back as numpy arrays (bfloat16 upcast to float32,
+    exact — bf16 is the upper half of fp32)."""
+    import pickle
+    import zipfile
+
+    zf = zipfile.ZipFile(path)
+    pkl_names = [n for n in zf.namelist() if n.split("/")[-1] == "data.pkl"]
+    if not pkl_names:
+        raise ValueError(
+            f"{path}: no data.pkl member — not a torch>=1.6 zip checkpoint "
+            f"(legacy tar/pickle formats need the torch fallback)")
+    pkl_name = min(pkl_names, key=len)
+    prefix = pkl_name[: -len("data.pkl")]
+
+    class _StorageRef:
+        __slots__ = ("dtype", "key", "is_bf16")
+
+        def __init__(self, dtype, key, is_bf16):
+            self.dtype, self.key, self.is_bf16 = dtype, key, is_bf16
+
+        def load(self) -> np.ndarray:
+            arr = np.frombuffer(zf.read(f"{prefix}data/{self.key}"),
+                                dtype=self.dtype)
+            if self.is_bf16:
+                arr = (arr.astype(np.uint32) << 16).view(np.float32)
+            return arr
+
+    def _rebuild_tensor_v2(storage, offset, size, stride, *_unused):
+        base = storage.load()
+        itemsize = base.itemsize
+        arr = np.lib.stride_tricks.as_strided(
+            base[offset:], shape=tuple(size),
+            strides=tuple(s * itemsize for s in stride))
+        return np.ascontiguousarray(arr)
+
+    def _rebuild_parameter(data, *_unused):
+        return data
+
+    _ALLOWED = {
+        ("collections", "OrderedDict"), ("collections", "defaultdict"),
+        ("builtins", "dict"), ("builtins", "list"), ("builtins", "set"),
+        ("builtins", "tuple"), ("builtins", "complex"),
+        ("builtins", "frozenset"), ("builtins", "bytearray"),
+    }
+    # One distinct stub class per storage-type name, so persistent_load can
+    # recover the dtype from the class the pickle stream referenced.
+    _storage_stub_cache: Dict[str, type] = {}
+
+    def _storage_stub(name: str) -> type:
+        cls = _storage_stub_cache.get(name)
+        if cls is None:
+            cls = type(name, (_OpaqueObject,), {})
+            _storage_stub_cache[name] = cls
+        return cls
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module == "torch._utils":
+                if name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
+                    return _rebuild_tensor_v2
+                if name == "_rebuild_parameter":
+                    return _rebuild_parameter
+            if module == "torch" and name == "Size":
+                return tuple
+            if (module, name) in _ALLOWED:
+                return super().find_class(module, name)
+            if module.startswith("torch") and name.endswith("Storage"):
+                return _storage_stub(name)
+            if module.startswith("torch"):
+                return _OpaqueObject
+            # Anything else in a checkpoint is unexpected — refuse rather
+            # than execute arbitrary pickle globals.
+            raise pickle.UnpicklingError(
+                f"refusing unknown global {module}.{name} in {path}")
+
+        def persistent_load(self, pid):
+            # ('storage', storage_type, key, location, numel)
+            if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+                raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+            storage_type, key = pid[1], pid[2]
+            dtype_name = getattr(storage_type, "__name__", str(storage_type))
+            dtype = _STORAGE_DTYPES.get(dtype_name)
+            if dtype is None:
+                raise pickle.UnpicklingError(
+                    f"unsupported storage type {dtype_name} in {path}")
+            return _StorageRef(dtype, key, dtype_name == "BFloat16Storage")
+
+    with zf.open(pkl_name) as f:
+        return _Unpickler(f).load()
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
-    """Load a reference ``checkpoint_<iter>.pth`` (torch pickle) into a
-    numpy state dict (CPU, no grad)."""
-    import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    """Load a reference ``checkpoint_<iter>.pth`` into a numpy state dict.
+
+    Torch-free by default (zip-format checkpoints, torch>=1.6 — every
+    published reference checkpoint): parsed with zipfile+pickle+numpy so a
+    TPU-native deployment needs no torch. Legacy (pre-1.6 tar/pickle)
+    files fall back to ``torch.load`` when torch is importable."""
+    try:
+        ckpt = _read_pth_without_torch(path)
+    except ValueError:
+        # Legacy format — only torch itself still reads these.
+        import torch
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     # reference checkpoints nest under "model"; torchvision training-script
     # checkpoints under "state_dict" (reference clf_linear.py:137-141)
     sd = ckpt
@@ -198,7 +333,8 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
             sd = ckpt[key]
             break
     return {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)
-            for k, v in sd.items()}
+            for k, v in sd.items()
+            if isinstance(v, np.ndarray) or hasattr(v, "detach")}
 
 
 # ---------------------------------------------------------------------------
