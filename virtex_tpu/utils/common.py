@@ -54,12 +54,40 @@ def common_parser(description: str = "") -> argparse.ArgumentParser:
     return parser
 
 
+def _cpu_machine_key() -> str:
+    """Fingerprint of this host's CPU (model + feature flags). XLA:CPU AOT
+    executables are machine-feature-specific: loading a cache entry written
+    on a different host emits a wall of SIGILL-risk warnings (and may
+    crash). Keying the CPU cache dir by machine keeps caches private to
+    compatible hosts."""
+    import hashlib
+    import platform
+    parts = [platform.machine()]
+    try:
+        with open("/proc/cpuinfo") as f:
+            seen = set()
+            for line in f:
+                tag = line.split(":", 1)[0].strip()
+                if tag in ("model name", "flags") and tag not in seen:
+                    seen.add(tag)
+                    parts.append(line.strip())
+                if len(seen) == 2:
+                    break
+    except OSError:
+        pass
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:10]
+
+
 def setup_compilation_cache(cache_dir: Optional[str] = None) -> None:
     """Enable JAX's persistent compilation cache (compiles on the TPU
-    tunnel take minutes; cached reruns are instant)."""
+    tunnel take minutes; cached reruns are instant). CPU-platform runs get
+    a machine-keyed subdirectory — see :func:`_cpu_machine_key`."""
     import jax
     cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.path.expanduser("~/.cache/virtex_tpu_xla"))
+    platforms = getattr(jax.config, "jax_platforms", None) or ""
+    if platforms.split(",")[0] == "cpu":
+        cache_dir = os.path.join(cache_dir, f"cpu-{_cpu_machine_key()}")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
