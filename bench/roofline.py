@@ -1,0 +1,183 @@
+r"""
+Analytic MFU / roofline account of the flagship training step (round-4
+verdict #4): FLOPs and minimum HBM traffic for bicaptioning_R_50_L1_H1024
+at the bench recipe (2 micro-batches x 128 @ 224^2), against v5e-1 peaks
+(197 TFLOP/s bf16, 819 GB/s HBM), reconciled with the measured 64.15
+ms/step device profile (docs/design.md).
+
+Counting rules:
+- matmul/conv FLOPs = 2 * MACs; backward = 2x forward (dgrad + wgrad),
+  so a train step = 3x forward FLOPs. Elementwise/BN FLOPs are omitted
+  (they are bandwidth-, not compute-, limited; they appear in the bytes
+  account instead).
+- minimum HBM bytes = every conv/matmul activation written once forward +
+  read once backward (bf16), input gradients written once, weights read
+  fwd + read bwd + grad written (fp32 master), optimizer moments
+  read+written (adamw-like: sgd momentum + lookahead slow params), batch
+  read once. This is a FLOOR: real traffic adds BN stat passes, re-reads
+  across fusion boundaries, and padding.
+
+Run: python bench/roofline.py [--img-per-sec 2040] [--batch 256]
+Prints a table + one JSON line; bench.py embeds the MFU figure when
+VIRTEX_BENCH_MFU=1 (env-gated to keep the driver JSON schema stable).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+V5E_PEAK_BF16 = 197e12       # FLOP/s (MXU, bf16)
+V5E_HBM_BW = 819e9           # bytes/s
+
+# Flagship dims (configs/_base_bicaptioning_R_50_L1_H1024.yaml)
+CROP = 224
+CAP_LEN = 30
+HIDDEN = 1024
+FFN = 4096
+VOCAB = 10000
+VISUAL_FEAT = 2048
+GRID = 7 * 7                  # layer4 tokens at 224^2
+
+
+def resnet50_convs(crop: int):
+    """Yield (h_out, w_out, c_in, c_out, k) for every conv in R-50
+    (torchvision v1.5 layout, matching modules/resnet.py: the stage
+    stride sits on the 3x3, so the first 1x1 runs at full spatial)."""
+    convs = [(crop // 2, crop // 2, 3, 64, 7)]          # stem, stride 2
+    spatial = crop // 4                                  # after maxpool
+    c_in = 64
+    for stage, (n_blocks, c_mid) in enumerate(
+            [(3, 64), (4, 128), (6, 256), (3, 512)]):
+        c_out = c_mid * 4
+        for b in range(n_blocks):
+            stride = 2 if (stage > 0 and b == 0) else 1
+            s_out = spatial // stride
+            convs.append((spatial, spatial, c_in, c_mid, 1))  # pre-stride
+            convs.append((s_out, s_out, c_mid, c_mid, 3))     # strided 3x3
+            convs.append((s_out, s_out, c_mid, c_out, 1))
+            if b == 0:
+                convs.append((s_out, s_out, c_in, c_out, 1))  # downsample
+            c_in, spatial = c_out, s_out
+    return convs
+
+
+def resnet50_flops_fwd(batch: int, crop: int) -> float:
+    return sum(2.0 * batch * h * w * co * (k * k * ci)
+               for h, w, ci, co, k in resnet50_convs(crop))
+
+
+def resnet50_act_elems(batch: int, crop: int) -> float:
+    """Conv output elements (NHWC) — the activations that must round-trip
+    HBM between forward and backward."""
+    return sum(batch * h * w * co for h, w, ci, co, k in resnet50_convs(crop))
+
+
+def resnet50_params() -> float:
+    p = sum(k * k * ci * co for _, _, ci, co, k in resnet50_convs(CROP))
+    # BN scale/bias per conv output channel (+ running stats excluded: not
+    # optimizer-updated)
+    p += sum(2 * co for _, _, _, co, _ in resnet50_convs(CROP))
+    return p
+
+
+def textual_flops_fwd(batch: int) -> float:
+    """Bicaptioning textual compute: shared visual projection + two
+    1-layer decoders (forward + backward captioning) with tied-output
+    logits."""
+    B, T, H, V = batch, CAP_LEN, HIDDEN, GRID
+    f = 2.0 * B * V * VISUAL_FEAT * H                    # visual projection
+    per_dir = 0.0
+    per_dir += 3 * 2.0 * B * T * H * H                   # self-attn qkv
+    per_dir += 2 * 2.0 * B * T * T * H                   # QK^T + AV
+    per_dir += 2.0 * B * T * H * H                       # self out proj
+    per_dir += 2.0 * B * T * H * H                       # cross q
+    per_dir += 2 * 2.0 * B * V * H * H                   # cross k,v
+    per_dir += 2 * 2.0 * B * T * V * H                   # cross scores+mix
+    per_dir += 2.0 * B * T * H * H                       # cross out proj
+    per_dir += 2 * 2.0 * B * T * H * FFN                 # FFN in+out
+    per_dir += 2.0 * B * T * H * VOCAB                   # tied logits
+    return f + 2 * per_dir
+
+
+def textual_params() -> float:
+    per_dir = (4 * HIDDEN * HIDDEN + 2 * HIDDEN * HIDDEN
+               + 2 * HIDDEN * HIDDEN + 2 * HIDDEN * FFN)
+    shared = (VISUAL_FEAT * HIDDEN + VOCAB * HIDDEN      # proj + embedding
+              + CAP_LEN * HIDDEN)                        # positions
+    return shared + 2 * per_dir
+
+
+def account(batch: int, img_per_sec: float, measured_step_ms: float | None):
+    fwd = resnet50_flops_fwd(batch, CROP) + textual_flops_fwd(batch)
+    step_flops = 3.0 * fwd
+
+    params = resnet50_params() + textual_params()
+    act_elems = (resnet50_act_elems(batch, CROP)
+                 # textual activations: per-direction ~ (T+V)*H per
+                 # sublayer output x ~6 sublayers + logits
+                 + 2 * batch * (6 * (CAP_LEN + GRID) * HIDDEN
+                                + CAP_LEN * VOCAB))
+    bytes_floor = (
+        act_elems * 2 * 2              # bf16 fwd write + bwd read
+        + act_elems * 2                # input-gradient writes (bf16)
+        + params * 4 * 3               # fp32 weights: fwd read, bwd read, grad write
+        + params * 4 * 4               # momentum + lookahead slow: read+write each
+        + batch * CROP * CROP * 3 * 4  # input batch, fp32 host layout
+    )
+
+    t_step = batch / img_per_sec
+    achieved_flops = step_flops / t_step
+    mfu = achieved_flops / V5E_PEAK_BF16
+    t_bw_floor = bytes_floor / V5E_HBM_BW
+    t_compute_floor = step_flops / V5E_PEAK_BF16
+
+    rows = [
+        ("forward FLOPs/img", f"{fwd / batch / 1e9:.2f} GF"),
+        ("train-step FLOPs (x3, batch)", f"{step_flops / 1e12:.2f} TF"),
+        ("params (optimizer-visible)", f"{params / 1e6:.1f} M"),
+        ("min HBM bytes/step", f"{bytes_floor / 1e9:.2f} GB"),
+        ("step time @ measured img/s", f"{t_step * 1e3:.2f} ms"),
+        ("compute floor (197 TF/s)", f"{t_compute_floor * 1e3:.2f} ms"),
+        ("bandwidth floor (819 GB/s)", f"{t_bw_floor * 1e3:.2f} ms"),
+        ("MFU", f"{mfu * 100:.1f} %"),
+        ("HBM floor utilization", f"{t_bw_floor / t_step * 100:.1f} %"),
+    ]
+    if measured_step_ms:
+        rows.append(("device step (profile)", f"{measured_step_ms:.2f} ms"))
+        rows.append(("device-time MFU",
+                     f"{step_flops / (measured_step_ms / 1e3) / V5E_PEAK_BF16 * 100:.1f} %"))
+    width = max(len(r[0]) for r in rows)
+    for name, val in rows:
+        print(f"  {name:<{width}}  {val}")
+    return {
+        "mfu": round(mfu, 4),
+        "flops_per_step": step_flops,
+        "bytes_floor_per_step": bytes_floor,
+        "bw_floor_ms": round(t_bw_floor * 1e3, 2),
+        "compute_floor_ms": round(t_compute_floor * 1e3, 2),
+        "step_ms": round(t_step * 1e3, 2),
+    }
+
+
+def mfu_at(img_per_sec: float, batch: int = 256) -> float:
+    """MFU for bench.py's env-gated JSON field."""
+    fwd = resnet50_flops_fwd(batch, CROP) + textual_flops_fwd(batch)
+    return 3.0 * fwd * img_per_sec / batch / V5E_PEAK_BF16
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--img-per-sec", type=float, default=2040.0,
+                    help="measured throughput (BENCH_r03: 2039.1)")
+    ap.add_argument("--batch", type=int, default=256,
+                    help="global batch (bench recipe: 2x128)")
+    ap.add_argument("--measured-step-ms", type=float, default=64.15 * 2,
+                    help="device profile step time for --batch (64.15 ms "
+                         "was measured per 128-image micro-step)")
+    args = ap.parse_args()
+    out = account(args.batch, args.img_per_sec, args.measured_step_ms)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
