@@ -18,7 +18,13 @@ on the right tokens, so nucleus must also clear a (looser, sampling-noise
 tolerant) CIDEr ≥ 80 bar. This closes the "proxy only exercises beam
 decode" gap: both decoder families now move a real metric end-to-end.
 
-Usage: python tests/quality_proxy_smoke.py [iterations]
+Usage: python tests/quality_proxy_smoke.py [iterations] [grad_accum_steps]
+
+``grad_accum_steps`` (default 1) trains through the SAME recipe bench.py
+measures (accum=2 ≙ the headline grad-accum path, whose micro-batch BN
+semantics differ from flat — engine/trainer.py:76-91): running the proxy at
+accum=2 gates that the headline recipe LEARNS end-to-end, not merely that
+its mechanics are self-consistent (round-4 verdict #3).
 """
 import json
 import os
@@ -32,16 +38,16 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
 
-def main(iterations: int = 400) -> None:
+def main(iterations: int = 400, accum: int = 1) -> None:
     root = pathlib.Path(tempfile.mkdtemp(prefix="quality_proxy_"))
     try:
-        _run(root, iterations)
+        _run(root, iterations, accum)
     finally:
         import shutil
         shutil.rmtree(root, ignore_errors=True)
 
 
-def _run(root: pathlib.Path, iterations: int) -> None:
+def _run(root: pathlib.Path, iterations: int, accum: int) -> None:
     from utils_fixtures import LEARNABLE_CLASSES, make_learnable_coco
 
     from virtex_tpu.data.tokenizers import train_tokenizer
@@ -73,13 +79,16 @@ def _run(root: pathlib.Path, iterations: int) -> None:
         "OPTIM.CNN_LR", "0.001",
         "OPTIM.WEIGHT_DECAY", "0.0001",
         "OPTIM.LOOKAHEAD.USE", "False",
+        # accum=2 runs the bench headline recipe (2 micro-batches of
+        # BATCH_SIZE/2 scanned inside one jitted step).
+        "OPTIM.GRAD_ACCUM_STEPS", str(accum),
     ]
     ser = str(root / "ser")
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
-    print(f"[1/3] pretraining {iterations} iterations on learnable COCO…",
-          flush=True)
+    print(f"[1/3] pretraining {iterations} iterations on learnable COCO "
+          f"(grad_accum={accum})…", flush=True)
     subprocess.check_call(
         [sys.executable, os.path.join(REPO, "scripts", "pretrain_virtex.py"),
          "--config-override", *overrides,
@@ -123,11 +132,13 @@ def _run(root: pathlib.Path, iterations: int) -> None:
     print(json.dumps({"quality_proxy_smoke": status,
                       "val_CIDEr": round(cider, 2),
                       "val_CIDEr_nucleus": round(nucleus_cider, 2),
-                      "iterations": iterations}))
+                      "iterations": iterations,
+                      "grad_accum_steps": accum}))
     assert cider >= 100.0, f"beam val CIDEr {cider:.2f} < 100"
     assert nucleus_cider >= 80.0, \
         f"nucleus val CIDEr {nucleus_cider:.2f} < 80"
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 400,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 1)
