@@ -63,6 +63,34 @@ def test_load_torch_checkpoint_with_torch_blocked(tmp_path, monkeypatch):
                                   sd["transposed"].numpy())
 
 
+def test_legacy_format_without_torch(tmp_path, monkeypatch):
+    """Reference-era torchvision ImageNet weights (e.g.
+    resnet50-19c8e357.pth) are LEGACY (pre-1.6, non-zip) torch pickles —
+    the `--weight-init torchvision` path must read them torch-free too."""
+    g = torch.Generator().manual_seed(1)
+    sd = {
+        "conv1.weight": torch.randn(8, 3, 7, 7, generator=g),
+        "bn1.running_var": torch.rand(8, generator=g),
+        "bn1.num_batches_tracked": torch.tensor(7, dtype=torch.int64),
+        "fc.weight": torch.randn(10, 8, generator=g),
+    }
+    path = str(tmp_path / "legacy.pth")
+    torch.save(sd, path, _use_new_zipfile_serialization=False)
+
+    monkeypatch.setitem(sys.modules, "torch", None)
+    from virtex_tpu.utils.checkpoint_convert import (
+        _read_legacy_pth_without_torch,
+    )
+    out = load_torch_checkpoint(path)
+    assert set(out) == set(sd)
+    for k, v in sd.items():
+        np.testing.assert_array_equal(out[k], v.numpy(), err_msg=k)
+    # np.asarray duck-typing (the convert_resnet/_set path) also works
+    lazy = _read_legacy_pth_without_torch(path)
+    np.testing.assert_array_equal(np.asarray(lazy["fc.weight"]),
+                                  sd["fc.weight"].numpy())
+
+
 def test_refuses_arbitrary_globals(tmp_path):
     """The reader must not execute arbitrary pickle globals (it's fed
     downloaded files): a pickle referencing os.system raises."""

@@ -226,7 +226,10 @@ def _read_pth_without_torch(path: str):
     import pickle
     import zipfile
 
-    zf = zipfile.ZipFile(path)
+    try:
+        zf = zipfile.ZipFile(path)
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"{path}: not a zip-format checkpoint") from e
     pkl_names = [n for n in zf.namelist() if n.split("/")[-1] == "data.pkl"]
     if not pkl_names:
         raise ValueError(
@@ -312,19 +315,145 @@ def _read_pth_without_torch(path: str):
         return _Unpickler(f).load()
 
 
+_LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
+
+
+def _read_legacy_pth_without_torch(path: str):
+    """Parse a legacy (pre-1.6, non-zip) torch pickle ``.pth`` — the format
+    of reference-era torchvision ImageNet weights (e.g.
+    ``resnet50-19c8e357.pth``, loaded by the ``--weight-init torchvision``
+    path). Layout (torch ``_legacy_save``): four consecutive pickles
+    (magic, protocol version, sys_info, the object graph), then the pickled
+    storage-key list, then per key an int64 element count + raw bytes.
+
+    Storage payloads come AFTER the object pickle, so tensor rebuilds are
+    deferred: persistent ids produce lazy refs, and the returned tree is
+    materialized once the payload section has been read."""
+    import pickle
+
+    storage_dtypes: Dict[str, np.dtype] = {}
+    storage_bytes: Dict[str, bytes] = {}
+
+    class _LazyTensor:
+        """numpy-convertible deferred tensor (materializes on access)."""
+
+        def __init__(self, root_key, dtype, is_bf16, storage_offset,
+                     size, stride):
+            self._spec = (root_key, dtype, is_bf16, storage_offset,
+                          size, stride)
+
+        def _materialize(self) -> np.ndarray:
+            root_key, dtype, is_bf16, offset, size, stride = self._spec
+            base = np.frombuffer(storage_bytes[root_key], dtype=dtype)
+            if is_bf16:
+                base = (base.astype(np.uint32) << 16).view(np.float32)
+            arr = np.lib.stride_tricks.as_strided(
+                base[offset:], shape=tuple(size),
+                strides=tuple(s * base.itemsize for s in stride))
+            return np.ascontiguousarray(arr)
+
+        # Walk-free conversion: np.asarray() and the .detach().numpy()
+        # duck-type both materialize, so existing consumers
+        # (load_torch_checkpoint's final loop, convert_resnet's _set)
+        # need no special casing.
+        def __array__(self, dtype=None, copy=None):
+            a = self._materialize()
+            return a.astype(dtype) if dtype is not None else a
+
+        def detach(self):
+            return self
+
+        def numpy(self) -> np.ndarray:
+            return self._materialize()
+
+    def _rebuild_tensor(storage_ref, storage_offset, size, stride, *_):
+        root_key, dtype, is_bf16 = storage_ref
+        return _LazyTensor(root_key, dtype, is_bf16, storage_offset,
+                           size, stride)
+
+    _ALLOWED = {
+        ("collections", "OrderedDict"), ("collections", "defaultdict"),
+        ("builtins", "dict"), ("builtins", "list"), ("builtins", "set"),
+        ("builtins", "tuple"), ("builtins", "complex"),
+        ("builtins", "frozenset"), ("builtins", "bytearray"),
+    }
+    _storage_stub_cache: Dict[str, type] = {}
+
+    class _Unpickler(pickle.Unpickler):
+        def find_class(self, module, name):
+            if module == "torch._utils" and name in (
+                    "_rebuild_tensor_v2", "_rebuild_tensor"):
+                return _rebuild_tensor
+            if module == "torch._utils" and name == "_rebuild_parameter":
+                return lambda data, *a: data
+            if module == "torch" and name == "Size":
+                return tuple
+            if (module, name) in _ALLOWED:
+                return super().find_class(module, name)
+            if module.startswith("torch") and name.endswith("Storage"):
+                cls = _storage_stub_cache.get(name)
+                if cls is None:
+                    cls = type(name, (_OpaqueObject,), {})
+                    _storage_stub_cache[name] = cls
+                return cls
+            if module.startswith("torch"):
+                return _OpaqueObject
+            raise pickle.UnpicklingError(
+                f"refusing unknown global {module}.{name} in {path}")
+
+        def persistent_load(self, pid):
+            # ('storage', type, root_key, location, numel[, view_metadata])
+            if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+                raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+            storage_type, root_key = pid[1], pid[2]
+            dtype_name = getattr(storage_type, "__name__", str(storage_type))
+            dtype = _STORAGE_DTYPES.get(dtype_name)
+            if dtype is None:
+                raise pickle.UnpicklingError(
+                    f"unsupported storage type {dtype_name} in {path}")
+            storage_dtypes[root_key] = dtype
+            view_metadata = pid[5] if len(pid) > 5 else None
+            if view_metadata is not None:
+                raise pickle.UnpicklingError(
+                    f"legacy storage views unsupported ({path}); load this "
+                    f"file once with torch and re-save")
+            return (root_key, dtype, dtype_name == "BFloat16Storage")
+
+    with open(path, "rb") as f:
+        # Header pickles (magic, protocol version, sys_info, key list) go
+        # through the same restricted unpickler — no arbitrary globals.
+        magic = _Unpickler(f).load()
+        if magic != _LEGACY_MAGIC:
+            raise ValueError(f"{path}: not a legacy torch pickle")
+        _Unpickler(f).load()    # protocol version
+        _Unpickler(f).load()    # sys_info
+        obj = _Unpickler(f).load()
+        keys = _Unpickler(f).load()
+        for key in keys:
+            numel = int.from_bytes(f.read(8), "little")
+            storage_bytes[key] = f.read(
+                numel * storage_dtypes[key].itemsize)
+    return obj
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a reference ``checkpoint_<iter>.pth`` into a numpy state dict.
 
-    Torch-free by default (zip-format checkpoints, torch>=1.6 — every
-    published reference checkpoint): parsed with zipfile+pickle+numpy so a
-    TPU-native deployment needs no torch. Legacy (pre-1.6 tar/pickle)
-    files fall back to ``torch.load`` when torch is importable."""
+    Torch-free: zip-format checkpoints (torch>=1.6 — every published
+    reference checkpoint) and legacy pickle files (reference-era
+    torchvision ImageNet weights) are both parsed with
+    zipfile/pickle+numpy, so a TPU-native deployment needs no torch.
+    ``torch.load`` remains the last-resort fallback for anything else
+    (e.g. ancient tar-format files) when torch is importable."""
     try:
         ckpt = _read_pth_without_torch(path)
     except ValueError:
-        # Legacy format — only torch itself still reads these.
-        import torch
-        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            ckpt = _read_legacy_pth_without_torch(path)
+        except Exception:
+            # Unknown/ancient format — only torch itself reads these.
+            import torch
+            ckpt = torch.load(path, map_location="cpu", weights_only=False)
     # reference checkpoints nest under "model"; torchvision training-script
     # checkpoints under "state_dict" (reference clf_linear.py:137-141)
     sd = ckpt
