@@ -18,6 +18,7 @@ import pytest
 
 
 @pytest.mark.parametrize("prefix_mode", ["reference", "sos"])
+@pytest.mark.slow  # compile/mesh-heavy; full suite still runs it
 def test_kv_cache_beam_equals_full_prefix_beam(prefix_mode):
     model = ForwardCaptioningModel(
         visual=ResNetVisualBackbone("resnet18", dtype=jnp.float32),

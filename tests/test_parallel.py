@@ -59,6 +59,7 @@ def test_tp_param_sharding_rules():
         "kernel"].spec == P()
 
 
+@pytest.mark.slow  # compile/mesh-heavy; full suite still runs it
 def test_dp_tp_train_step_executes():
     mesh = create_mesh(data=4, model=2)
     model = ForwardCaptioningModel(

@@ -2,6 +2,7 @@
 MODEL.TEXTUAL.REMAT): per-block / per-layer jax.checkpoint must be a pure
 memory-for-FLOPs trade — identical param tree, identical forward, identical
 gradients, decode path untouched."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,6 +32,7 @@ def _models():
     return plain, remat
 
 
+@pytest.mark.slow  # compile/mesh-heavy; full suite still runs it
 def test_remat_is_pure_memory_trade():
     plain, remat = _models()
     batch = tiny_batch()

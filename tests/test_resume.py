@@ -40,6 +40,7 @@ def build():
     return model, tx, state, batch
 
 
+@pytest.mark.slow  # compile/mesh-heavy; full suite still runs it
 def test_resume_is_bit_exact(tmp_path):
     model, tx, state, batch = build()
     step = make_train_step(model, tx, donate=False)
@@ -73,6 +74,7 @@ def test_resume_is_bit_exact(tmp_path):
 
 @pytest.mark.skipif(len(jax.devices()) < 8,
                     reason="needs 8 virtual devices")
+@pytest.mark.slow  # compile/mesh-heavy; full suite still runs it
 def test_tp_sharded_save_restore(tmp_path):
     """TP=2 on the 8-device CPU mesh: checkpoint sharded params without a
     host gather, restore into the sharded template, shardings preserved."""
@@ -124,6 +126,7 @@ def test_tp_sharded_save_restore(tmp_path):
 
 @pytest.mark.skipif(len(jax.devices()) < 8,
                     reason="needs 8 virtual devices")
+@pytest.mark.slow  # compile/mesh-heavy; full suite still runs it
 def test_restore_across_mesh_shapes(tmp_path):
     """Elasticity: a checkpoint written under one mesh layout restores into
     a template laid out on a DIFFERENT mesh (orbax reshards to the

@@ -66,6 +66,7 @@ def _assert_tree_close(a, b, **kw):
         np.asarray(x), np.asarray(y), **kw), a, b)
 
 
+@pytest.mark.slow  # compile/mesh-heavy; full suite still runs it
 def test_accum_matches_sequential_microsteps():
     """The jitted scan must equal an eager per-micro-batch loop: same rng
     folds, summed-then-averaged grads, sequential BN stats. Tolerances allow
