@@ -136,17 +136,25 @@ def main():
         "vs_baseline": round(per_chip / REFERENCE_IMG_PER_SEC_PER_CHIP, 3),
     }
     if os.environ.get("VIRTEX_BENCH_MFU"):
-        # Env-gated so the driver-contract JSON schema stays stable.
-        # Analytic account: bench/roofline.py (v5e peak 197 TFLOP/s bf16).
-        # Loaded by path: this file shadows the bench/ directory on import.
-        import importlib.util
-        spec = importlib.util.spec_from_file_location(
-            "virtex_roofline",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench", "roofline.py"))
-        roofline = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(roofline)
-        row["mfu"] = round(roofline.mfu_at(per_chip), 4)
+        if overrides:
+            # The analytic FLOPs are for the flagship model at 224² only —
+            # under VIRTEX_BENCH_OVERRIDES (tiny sweep/contract models) an
+            # "MFU" from them would be off by orders of magnitude.
+            print("bench: VIRTEX_BENCH_MFU ignored under "
+                  "VIRTEX_BENCH_OVERRIDES (analytic FLOPs model the "
+                  "flagship config only)", file=sys.stderr)
+        else:
+            # Env-gated so the driver-contract JSON schema stays stable.
+            # Analytic account: bench/roofline.py (v5e peak 197 TFLOP/s
+            # bf16). Loaded by path: this file shadows bench/ on import.
+            import importlib.util
+            spec = importlib.util.spec_from_file_location(
+                "virtex_roofline",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench", "roofline.py"))
+            roofline = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(roofline)
+            row["mfu"] = round(roofline.mfu_at(per_chip), 4)
     print(json.dumps(row))
 
 

@@ -171,11 +171,18 @@ def main():
                     help="measured throughput (BENCH_r03: 2039.1)")
     ap.add_argument("--batch", type=int, default=256,
                     help="global batch (bench recipe: 2x128)")
-    ap.add_argument("--measured-step-ms", type=float, default=64.15 * 2,
-                    help="device profile step time for --batch (64.15 ms "
-                         "was measured per 128-image micro-step)")
+    ap.add_argument("--measured-step-ms", type=float, default=None,
+                    help="device profile step time for --batch; default "
+                         "scales the measured 64.15 ms per 128-image "
+                         "micro-step linearly with --batch")
     args = ap.parse_args()
-    out = account(args.batch, args.img_per_sec, args.measured_step_ms)
+    measured_ms = args.measured_step_ms
+    if measured_ms is None:
+        # Device time is batch-linear in the measured 64-256 range, so the
+        # default must track --batch (a fixed 128.3 ms would misreport
+        # device-time MFU by the batch ratio).
+        measured_ms = 64.15 * args.batch / 128.0
+    out = account(args.batch, args.img_per_sec, measured_ms)
     print(json.dumps(out))
 
 

@@ -111,6 +111,15 @@ def main() -> int:
                   f"{os.path.basename(args.model)!r} — regenerate it "
                   f"(--write-golden after an spm cross-check)")
             return 1
+        # The stored caption list must be THE pinned list, positionally:
+        # an appended/reordered caption would otherwise be silently
+        # skipped by zip() or compared against the wrong encoding.
+        if (golden.get("captions") != PINNED_CAPTIONS
+                or len(golden.get("encodings", [])) != len(PINNED_CAPTIONS)):
+            print("tokenizer_selfcheck: golden caption list does not match "
+                  "PINNED_CAPTIONS (count or content) — regenerate it "
+                  "(--write-golden after an spm cross-check)")
+            return 1
         bad = [i for i, (a, b) in enumerate(zip(ours, golden["encodings"]))
                if a != b]
         if bad:
@@ -126,16 +135,20 @@ def main() -> int:
         return 0
 
     # Mode 3: no runtime, no golden → emit a candidate + the validation
-    # command; fail so the closure can't silently skip the check.
-    _write_golden(args.golden, args.model, ours)
+    # command; fail so the closure can't silently skip the check. The
+    # candidate goes to a DISTINCT path: writing it to --golden itself
+    # would make a simple re-run "pass" in mode 2 against the importer's
+    # own unverified output.
     if args.write_golden:
+        _write_golden(args.golden, args.model, ours)
         return 0
+    _write_golden(args.golden + ".candidate", args.model, ours)
     print("tokenizer_selfcheck: UNVERIFIED — no sentencepiece runtime and "
-          "no committed golden. Candidate golden written; validate it on a "
+          "no committed golden. Candidate written; validate it on a "
           "machine with SentencePiece via:\n"
           f"    pip install sentencepiece && python {__file__} "
           f"--model {args.model}\n"
-          "then commit the golden.")
+          f"then rename the .candidate to {args.golden} and commit it.")
     return 1
 
 

@@ -32,6 +32,9 @@ def run_bench(accum: int):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+    # The strict schema assertion below must not inherit a developer's
+    # exported VIRTEX_BENCH_MFU (which would add an "mfu" field).
+    env.pop("VIRTEX_BENCH_MFU", None)
     env["VIRTEX_BENCH_OVERRIDES"] = TINY_OVERRIDES
     env["VIRTEX_BENCH_BATCH"] = "2"          # per chip -> global 16
     env["VIRTEX_BENCH_ITERS"] = "2"

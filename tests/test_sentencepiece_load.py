@@ -134,6 +134,21 @@ def test_sp_unigram_scored(tmp_path):
     assert tok.encode("ab") == [vocab["▁ab"]]
 
 
+def test_sp_unigram_byte_fallback(tmp_path):
+    """byte_fallback must carry over for Unigram models too: OOV chars
+    encode to <0xNN> byte pieces, never <unk> (id 0, which doubles as
+    padding)."""
+    path = str(tmp_path / "unigram_bytefb.model")
+    pieces = (SPECIALS
+              + [("▁", -1.0, 1), ("a", -2.0, 1)]
+              + [("<0x7A>", -20.0, 6)])  # 'z' — type 6 = BYTE
+    vocab = _write_proto(path, pieces, model_type=1, byte_fallback=True)
+    tok = SentencePieceBPETokenizer(path)
+    ids = tok.encode("az")
+    assert vocab["<0x7A>"] in ids
+    assert 0 not in ids
+
+
 def test_sp_uniform_scores_fall_back_to_id_order(tmp_path):
     """Degenerate proto (all scores equal — no order information): the
     importer falls back to piece-id ranking and still produces a working

@@ -91,6 +91,64 @@ def test_legacy_format_without_torch(tmp_path, monkeypatch):
                                   sd["fc.weight"].numpy())
 
 
+def test_benign_non_torch_globals_reach_torch_fallback(tmp_path):
+    """A torchvision training-script checkpoint saves argparse.Namespace
+    alongside the state dict (reference clf_linear.py:137-141): the
+    restricted reader refuses the graph, and load_torch_checkpoint must
+    then reach the torch.load fallback rather than crash."""
+    import argparse
+    import pickle
+    path = str(tmp_path / "tv_train.pth")
+    sd = {"fc.weight": torch.randn(4, 4)}
+    torch.save({"state_dict": sd, "args": argparse.Namespace(lr=0.1)}, path)
+    with pytest.raises(pickle.UnpicklingError):
+        _read_pth_without_torch(path)
+    out = load_torch_checkpoint(path)
+    np.testing.assert_array_equal(out["fc.weight"], sd["fc.weight"].numpy())
+
+
+def test_refused_globals_without_torch_raise_informatively(tmp_path,
+                                                           monkeypatch):
+    import argparse
+    import pickle
+    path = str(tmp_path / "tv_train2.pth")
+    torch.save({"state_dict": {"w": torch.zeros(2)},
+                "args": argparse.Namespace()}, path)
+    monkeypatch.setitem(sys.modules, "torch", None)
+    with pytest.raises(pickle.UnpicklingError, match="refusing"):
+        load_torch_checkpoint(path)
+
+
+def test_out_of_bounds_tensor_record_refused(tmp_path):
+    """A crafted/truncated .pth whose tensor record indexes past its
+    storage must be refused, not as_strided into process memory."""
+    import io
+    import pickle
+    import zipfile
+    import torch._utils
+
+    sentinel = object()
+
+    class Evil:
+        def __reduce__(self):
+            return (torch._utils._rebuild_tensor_v2,
+                    (sentinel, 0, (1 << 20,), (1,), False, None))
+
+    class P(pickle.Pickler):
+        def persistent_id(self, obj):
+            return (("storage", torch.FloatStorage, "0", "cpu", 4)
+                    if obj is sentinel else None)
+
+    buf = io.BytesIO()
+    P(buf, protocol=2).dump({"model": {"w": Evil()}})
+    path = str(tmp_path / "oob.pth")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/data/0", np.arange(4, dtype="<f4").tobytes())
+    with pytest.raises(pickle.UnpicklingError, match="outside its storage"):
+        _read_pth_without_torch(path)
+
+
 def test_refuses_arbitrary_globals(tmp_path):
     """The reader must not execute arbitrary pickle globals (it's fed
     downloaded files): a pickle referencing os.system raises."""

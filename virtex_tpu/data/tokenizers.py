@@ -114,8 +114,13 @@ def _tokenizer_from_sentencepiece(model_path: str) -> Tokenizer:
     vocab = {piece: i for i, (piece, _) in enumerate(pieces)}
 
     model_type = proto.trainer_spec.model_type  # 1=unigram, 2=bpe
+    byte_fallback = bool(proto.trainer_spec.byte_fallback)
     if model_type == 1:
-        tok = Tokenizer(models.Unigram(pieces, unk_id=UNK_INDEX))
+        # byte_fallback must carry over here too: a byte-fallback Unigram
+        # model encodes OOV chars to <0xNN> pieces, never <unk> (id 0, which
+        # doubles as padding) — dropping it would silently diverge.
+        tok = Tokenizer(models.Unigram(pieces, unk_id=UNK_INDEX,
+                                       byte_fallback=byte_fallback))
     else:
         # Only NORMAL(1) / USER_DEFINED(4) pieces can be merge products;
         # CONTROL/UNKNOWN/BYTE pieces (e.g. "[SOS]", "<0x41>") must not
@@ -138,7 +143,6 @@ def _tokenizer_from_sentencepiece(model_path: str) -> Tokenizer:
         scores_ordered = len({c[0] for c in candidates}) > 1
         key = (None if scores_ordered else (lambda c: c[1:4]))
         merges = [c[4] for c in sorted(candidates, key=key)]
-        byte_fallback = bool(proto.trainer_spec.byte_fallback)
         tok = Tokenizer(models.BPE(vocab, merges, unk_token="<unk>",
                                    fuse_unk=True,
                                    byte_fallback=byte_fallback))

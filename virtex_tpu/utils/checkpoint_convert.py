@@ -14,6 +14,7 @@ or use :func:`load_torch_checkpoint`); no torch import needed here.
 """
 from __future__ import annotations
 
+import pickle
 import re
 from typing import Any, Dict, Tuple
 
@@ -219,11 +220,105 @@ class _OpaqueObject:
         pass
 
 
+_ALLOWED_GLOBALS = {
+    ("collections", "OrderedDict"), ("collections", "defaultdict"),
+    ("builtins", "dict"), ("builtins", "list"), ("builtins", "set"),
+    ("builtins", "tuple"), ("builtins", "complex"),
+    ("builtins", "frozenset"), ("builtins", "bytearray"),
+}
+
+# One distinct stub class per storage-type name, so persistent_load can
+# recover the dtype from the class the pickle stream referenced.
+_storage_stub_cache: Dict[str, type] = {}
+
+
+def _storage_stub(name: str) -> type:
+    cls = _storage_stub_cache.get(name)
+    if cls is None:
+        cls = type(name, (_OpaqueObject,), {})
+        _storage_stub_cache[name] = cls
+    return cls
+
+
+def _pid_storage(pid, path: str):
+    """Validate a torch persistent id ``('storage', type, key, location,
+    numel[, view_metadata])`` → ``(key, numpy dtype, is_bf16)``."""
+    if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+        raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+    storage_type, key = pid[1], pid[2]
+    dtype_name = getattr(storage_type, "__name__", str(storage_type))
+    dtype = _STORAGE_DTYPES.get(dtype_name)
+    if dtype is None:
+        raise pickle.UnpicklingError(
+            f"unsupported storage type {dtype_name} in {path}")
+    return key, dtype, dtype_name == "BFloat16Storage"
+
+
+def _strided_view(base: np.ndarray, offset, size, stride,
+                  path: str) -> np.ndarray:
+    """Bounds-checked equivalent of torch's tensor-from-storage rebuild.
+    offset/size/stride come from the (untrusted) pickle, so every element
+    the view would touch is validated against the storage length before
+    ``as_strided`` — otherwise a crafted or truncated ``.pth`` could read
+    arbitrary process memory into the "weights"."""
+    size = tuple(int(s) for s in size)
+    stride = tuple(int(s) for s in stride)
+    offset = int(offset)
+    if (len(size) != len(stride) or offset < 0
+            or any(s < 0 for s in size) or any(s < 0 for s in stride)):
+        raise pickle.UnpicklingError(f"malformed tensor record in {path}")
+    if 0 in size:
+        return np.zeros(size, dtype=base.dtype)
+    last = offset + sum((sz - 1) * st for sz, st in zip(size, stride))
+    if last >= len(base):
+        raise pickle.UnpicklingError(
+            f"tensor record in {path} reads outside its storage "
+            f"(element {last} of {len(base)})")
+    arr = np.lib.stride_tricks.as_strided(
+        base[offset:], shape=size,
+        strides=tuple(s * base.itemsize for s in stride))
+    return np.ascontiguousarray(arr)
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    """Shared restricted unpickler for both ``.pth`` readers: torch tensor
+    rebuilds route through :meth:`_rebuild_tensor`, a small stdlib
+    allowlist passes through, storage types become dtype-carrying stubs,
+    other torch classes become inert :class:`_OpaqueObject`\\ s — and any
+    OTHER global is refused rather than executed."""
+
+    def __init__(self, file, path: str):
+        super().__init__(file)
+        self._path = path
+
+    def _rebuild_tensor(self, storage, offset, size, stride):
+        raise NotImplementedError
+
+    def find_class(self, module, name):
+        if module == "torch._utils":
+            if name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
+                return (lambda storage, offset, size, stride, *_unused:
+                        self._rebuild_tensor(storage, offset, size, stride))
+            if name == "_rebuild_parameter":
+                return lambda data, *_unused: data
+        if module == "torch" and name == "Size":
+            return tuple
+        if (module, name) in _ALLOWED_GLOBALS:
+            return super().find_class(module, name)
+        if module.startswith("torch") and name.endswith("Storage"):
+            return _storage_stub(name)
+        if module.startswith("torch"):
+            return _OpaqueObject
+        # Anything else in a checkpoint is unexpected — refuse rather
+        # than execute arbitrary pickle globals.
+        raise pickle.UnpicklingError(
+            f"refusing unknown global {module}.{name} in {self._path}")
+
+
 def _read_pth_without_torch(path: str):
     """Parse a torch>=1.6 zip-format ``.pth`` with zipfile+pickle+numpy
     only. Tensors come back as numpy arrays (bfloat16 upcast to float32,
     exact — bf16 is the upper half of fp32)."""
-    import pickle
     import zipfile
 
     try:
@@ -251,68 +346,16 @@ def _read_pth_without_torch(path: str):
                 arr = (arr.astype(np.uint32) << 16).view(np.float32)
             return arr
 
-    def _rebuild_tensor_v2(storage, offset, size, stride, *_unused):
-        base = storage.load()
-        itemsize = base.itemsize
-        arr = np.lib.stride_tricks.as_strided(
-            base[offset:], shape=tuple(size),
-            strides=tuple(s * itemsize for s in stride))
-        return np.ascontiguousarray(arr)
-
-    def _rebuild_parameter(data, *_unused):
-        return data
-
-    _ALLOWED = {
-        ("collections", "OrderedDict"), ("collections", "defaultdict"),
-        ("builtins", "dict"), ("builtins", "list"), ("builtins", "set"),
-        ("builtins", "tuple"), ("builtins", "complex"),
-        ("builtins", "frozenset"), ("builtins", "bytearray"),
-    }
-    # One distinct stub class per storage-type name, so persistent_load can
-    # recover the dtype from the class the pickle stream referenced.
-    _storage_stub_cache: Dict[str, type] = {}
-
-    def _storage_stub(name: str) -> type:
-        cls = _storage_stub_cache.get(name)
-        if cls is None:
-            cls = type(name, (_OpaqueObject,), {})
-            _storage_stub_cache[name] = cls
-        return cls
-
-    class _Unpickler(pickle.Unpickler):
-        def find_class(self, module, name):
-            if module == "torch._utils":
-                if name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
-                    return _rebuild_tensor_v2
-                if name == "_rebuild_parameter":
-                    return _rebuild_parameter
-            if module == "torch" and name == "Size":
-                return tuple
-            if (module, name) in _ALLOWED:
-                return super().find_class(module, name)
-            if module.startswith("torch") and name.endswith("Storage"):
-                return _storage_stub(name)
-            if module.startswith("torch"):
-                return _OpaqueObject
-            # Anything else in a checkpoint is unexpected — refuse rather
-            # than execute arbitrary pickle globals.
-            raise pickle.UnpicklingError(
-                f"refusing unknown global {module}.{name} in {path}")
+    class _Unpickler(_RestrictedUnpickler):
+        def _rebuild_tensor(self, storage, offset, size, stride):
+            return _strided_view(storage.load(), offset, size, stride, path)
 
         def persistent_load(self, pid):
-            # ('storage', storage_type, key, location, numel)
-            if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
-                raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
-            storage_type, key = pid[1], pid[2]
-            dtype_name = getattr(storage_type, "__name__", str(storage_type))
-            dtype = _STORAGE_DTYPES.get(dtype_name)
-            if dtype is None:
-                raise pickle.UnpicklingError(
-                    f"unsupported storage type {dtype_name} in {path}")
-            return _StorageRef(dtype, key, dtype_name == "BFloat16Storage")
+            key, dtype, is_bf16 = _pid_storage(pid, path)
+            return _StorageRef(dtype, key, is_bf16)
 
     with zf.open(pkl_name) as f:
-        return _Unpickler(f).load()
+        return _Unpickler(f, path).load()
 
 
 _LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
@@ -329,8 +372,6 @@ def _read_legacy_pth_without_torch(path: str):
     Storage payloads come AFTER the object pickle, so tensor rebuilds are
     deferred: persistent ids produce lazy refs, and the returned tree is
     materialized once the payload section has been read."""
-    import pickle
-
     storage_dtypes: Dict[str, np.dtype] = {}
     storage_bytes: Dict[str, bytes] = {}
 
@@ -347,10 +388,7 @@ def _read_legacy_pth_without_torch(path: str):
             base = np.frombuffer(storage_bytes[root_key], dtype=dtype)
             if is_bf16:
                 base = (base.astype(np.uint32) << 16).view(np.float32)
-            arr = np.lib.stride_tricks.as_strided(
-                base[offset:], shape=tuple(size),
-                strides=tuple(s * base.itemsize for s in stride))
-            return np.ascontiguousarray(arr)
+            return _strided_view(base, offset, size, stride, path)
 
         # Walk-free conversion: np.asarray() and the .detach().numpy()
         # duck-type both materialize, so existing consumers
@@ -366,69 +404,32 @@ def _read_legacy_pth_without_torch(path: str):
         def numpy(self) -> np.ndarray:
             return self._materialize()
 
-    def _rebuild_tensor(storage_ref, storage_offset, size, stride, *_):
-        root_key, dtype, is_bf16 = storage_ref
-        return _LazyTensor(root_key, dtype, is_bf16, storage_offset,
-                           size, stride)
-
-    _ALLOWED = {
-        ("collections", "OrderedDict"), ("collections", "defaultdict"),
-        ("builtins", "dict"), ("builtins", "list"), ("builtins", "set"),
-        ("builtins", "tuple"), ("builtins", "complex"),
-        ("builtins", "frozenset"), ("builtins", "bytearray"),
-    }
-    _storage_stub_cache: Dict[str, type] = {}
-
-    class _Unpickler(pickle.Unpickler):
-        def find_class(self, module, name):
-            if module == "torch._utils" and name in (
-                    "_rebuild_tensor_v2", "_rebuild_tensor"):
-                return _rebuild_tensor
-            if module == "torch._utils" and name == "_rebuild_parameter":
-                return lambda data, *a: data
-            if module == "torch" and name == "Size":
-                return tuple
-            if (module, name) in _ALLOWED:
-                return super().find_class(module, name)
-            if module.startswith("torch") and name.endswith("Storage"):
-                cls = _storage_stub_cache.get(name)
-                if cls is None:
-                    cls = type(name, (_OpaqueObject,), {})
-                    _storage_stub_cache[name] = cls
-                return cls
-            if module.startswith("torch"):
-                return _OpaqueObject
-            raise pickle.UnpicklingError(
-                f"refusing unknown global {module}.{name} in {path}")
+    class _Unpickler(_RestrictedUnpickler):
+        def _rebuild_tensor(self, storage_ref, offset, size, stride):
+            root_key, dtype, is_bf16 = storage_ref
+            return _LazyTensor(root_key, dtype, is_bf16, offset, size, stride)
 
         def persistent_load(self, pid):
             # ('storage', type, root_key, location, numel[, view_metadata])
-            if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
-                raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
-            storage_type, root_key = pid[1], pid[2]
-            dtype_name = getattr(storage_type, "__name__", str(storage_type))
-            dtype = _STORAGE_DTYPES.get(dtype_name)
-            if dtype is None:
-                raise pickle.UnpicklingError(
-                    f"unsupported storage type {dtype_name} in {path}")
+            root_key, dtype, is_bf16 = _pid_storage(pid, path)
             storage_dtypes[root_key] = dtype
             view_metadata = pid[5] if len(pid) > 5 else None
             if view_metadata is not None:
                 raise pickle.UnpicklingError(
                     f"legacy storage views unsupported ({path}); load this "
                     f"file once with torch and re-save")
-            return (root_key, dtype, dtype_name == "BFloat16Storage")
+            return (root_key, dtype, is_bf16)
 
     with open(path, "rb") as f:
         # Header pickles (magic, protocol version, sys_info, key list) go
         # through the same restricted unpickler — no arbitrary globals.
-        magic = _Unpickler(f).load()
+        magic = _Unpickler(f, path).load()
         if magic != _LEGACY_MAGIC:
             raise ValueError(f"{path}: not a legacy torch pickle")
-        _Unpickler(f).load()    # protocol version
-        _Unpickler(f).load()    # sys_info
-        obj = _Unpickler(f).load()
-        keys = _Unpickler(f).load()
+        _Unpickler(f, path).load()    # protocol version
+        _Unpickler(f, path).load()    # sys_info
+        obj = _Unpickler(f, path).load()
+        keys = _Unpickler(f, path).load()
         for key in keys:
             numel = int.from_bytes(f.read(8), "little")
             storage_bytes[key] = f.read(
@@ -443,16 +444,24 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     reference checkpoint) and legacy pickle files (reference-era
     torchvision ImageNet weights) are both parsed with
     zipfile/pickle+numpy, so a TPU-native deployment needs no torch.
-    ``torch.load`` remains the last-resort fallback for anything else
-    (e.g. ancient tar-format files) when torch is importable."""
+    ``torch.load`` remains the last-resort fallback — for ancient
+    tar-format files AND for pickle graphs the restricted readers refuse
+    (e.g. an ``argparse.Namespace`` saved alongside a torchvision
+    ``state_dict``, reference ``clf_linear.py:137-141``) — whenever torch
+    is importable; without torch the informative refusal propagates."""
     try:
         ckpt = _read_pth_without_torch(path)
-    except ValueError:
+    except (ValueError, pickle.UnpicklingError) as primary_err:
         try:
             ckpt = _read_legacy_pth_without_torch(path)
         except Exception:
-            # Unknown/ancient format — only torch itself reads these.
-            import torch
+            # Unknown/ancient format, or a graph with non-torch globals —
+            # only torch itself reads these (same trust model as the
+            # reference's own CheckpointManager.load).
+            try:
+                import torch
+            except ImportError:
+                raise primary_err from None
             ckpt = torch.load(path, map_location="cpu", weights_only=False)
     # reference checkpoints nest under "model"; torchvision training-script
     # checkpoints under "state_dict" (reference clf_linear.py:137-141)

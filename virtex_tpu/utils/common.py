@@ -86,7 +86,19 @@ def setup_compilation_cache(cache_dir: Optional[str] = None) -> None:
     cache_dir = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                  or os.path.expanduser("~/.cache/virtex_tpu_xla"))
     platforms = getattr(jax.config, "jax_platforms", None) or ""
-    if platforms.split(",")[0] == "cpu":
+    platform = platforms.split(",")[0]
+    if not platform:
+        # Nothing pinned jax_platforms (no site hook, no override): the
+        # backend autodetects — a TPU-less host lands on CPU and still
+        # needs the machine-keyed dir. Resolving the default backend
+        # initializes it, which is safe here: cache-dir config is
+        # consulted at compile time, and every caller runs
+        # apply_platform_override() first.
+        try:
+            platform = jax.default_backend()
+        except Exception:
+            platform = ""
+    if platform == "cpu":
         cache_dir = os.path.join(cache_dir, f"cpu-{_cpu_machine_key()}")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
