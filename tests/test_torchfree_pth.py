@@ -27,6 +27,8 @@ def _fixture_ckpt(tmp_path):
         "scalar": torch.tensor(3.5),
         # non-contiguous: saved with transposed strides over the same storage
         "transposed": torch.randn(4, 6, generator=g).t(),
+        # nonzero storage_offset: a narrow()'d view keeps the full storage
+        "offset": torch.randn(10, generator=g)[3:7],
     }
     path = str(tmp_path / "checkpoint_42.pth")
     torch.save({"model": sd, "iteration": 42,
