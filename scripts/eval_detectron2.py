@@ -177,14 +177,16 @@ def run_detectron2(_C: Config, _A, weights: dict) -> None:
             kind = d2.data.MetadataCatalog.get(dataset_name).evaluator_type
             if kind == "pascal_voc":
                 return PascalVOCDetectionEvaluator(dataset_name)
+            # POSITIONAL, exactly like the reference
+            # (eval_detectron2.py:161-163): on old d2 the second parameter
+            # is `cfg`; on d2>=0.4 (the era whose `_trainer` attribute the
+            # load/resume paths above use) it is `tasks`, whose
+            # deprecation shim accepts a CfgNode. Keyword `cfg=` would be
+            # a TypeError there.
             if kind == "coco":
-                return COCOEvaluator(cfg=cfg, dataset_name=dataset_name,
-                                     distributed=True,
-                                     output_dir=output_folder)
+                return COCOEvaluator(dataset_name, cfg, True, output_folder)
             if kind == "lvis":
-                return LVISEvaluator(cfg=cfg, dataset_name=dataset_name,
-                                     distributed=True,
-                                     output_dir=output_folder)
+                return LVISEvaluator(dataset_name, cfg, True, output_folder)
             raise NotImplementedError(kind)
 
         def test(self, cfg=None, model=None, evaluators=None):

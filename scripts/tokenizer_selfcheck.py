@@ -73,6 +73,8 @@ def main() -> int:
 
     tok = SentencePieceBPETokenizer(args.model)
     ours = encode_all(tok)
+    with open(args.model, "rb") as f:
+        is_native_json = f.read(64).lstrip()[:1] == b"{"
 
     # Mode 1: real SentencePiece runtime present → direct cross-check.
     try:
@@ -134,14 +136,24 @@ def main() -> int:
               f"({len(PINNED_CAPTIONS)} captions)")
         return 0
 
-    # Mode 3: no runtime, no golden → emit a candidate + the validation
-    # command; fail so the closure can't silently skip the check. The
-    # candidate goes to a DISTINCT path: writing it to --golden itself
-    # would make a simple re-run "pass" in mode 2 against the importer's
-    # own unverified output.
+    # Mode 3: no runtime → emit a candidate + the validation command; fail
+    # so the closure can't silently skip the check. The candidate goes to
+    # a DISTINCT path: writing it to --golden itself would make a simple
+    # re-run "pass" in mode 2 against the importer's own unverified
+    # output. --write-golden is honored WITHOUT spm only for native JSON
+    # vocabularies (no SP-proto reconstruction to verify — the golden then
+    # guards future regressions); for binary SP .model files an
+    # spm-unverified golden is exactly the self-blessing this gate exists
+    # to prevent, so the flag is refused and diverted to the candidate.
     if args.write_golden:
-        _write_golden(args.golden, args.model, ours)
-        return 0
+        if is_native_json:
+            _write_golden(args.golden, args.model, ours)
+            return 0
+        print("tokenizer_selfcheck: REFUSING --write-golden for a binary "
+              "SP .model without the sentencepiece runtime — the golden "
+              "would bless the importer's own unverified reconstruction. "
+              "Run once on a machine with sentencepiece (mode 1 verifies, "
+              "then writes).")
     _write_golden(args.golden + ".candidate", args.model, ours)
     print("tokenizer_selfcheck: UNVERIFIED — no sentencepiece runtime and "
           "no committed golden. Candidate written; validate it on a "

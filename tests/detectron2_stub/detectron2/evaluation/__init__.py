@@ -16,18 +16,25 @@ class PascalVOCDetectionEvaluator(_EvaluatorBase):
 
 
 class COCOEvaluator(_EvaluatorBase):
-    # Reference-era (d2 v0.2) signature — the reference calls it
-    # positionally as COCOEvaluator(dataset_name, cfg, True, output_folder)
-    # (reference eval_detectron2.py:161); our driver passes the same
-    # parameters by keyword.
-    def __init__(self, dataset_name, cfg, distributed, output_dir=None):
+    # Modern (d2>=0.4 — the era that HAS the DefaultTrainer._trainer the
+    # driver's load/resume paths use) signature: the second positional is
+    # `tasks`, whose deprecation shim accepts an old-style CfgNode. The
+    # reference (and our driver) pass cfg POSITIONALLY through that shim
+    # (reference eval_detectron2.py:161); keyword cfg= would TypeError.
+    def __init__(self, dataset_name, tasks=None, distributed=True,
+                 output_dir=None):
+        assert tasks is None or isinstance(tasks, dict), \
+            "tasks shim accepts None or an old-style CfgNode"
         assert isinstance(distributed, bool)
         self.dataset_name = dataset_name
         INSTANTIATED.append((type(self).__name__, dataset_name, output_dir))
 
 
 class LVISEvaluator(_EvaluatorBase):
-    def __init__(self, dataset_name, cfg, distributed, output_dir=None):
+    def __init__(self, dataset_name, tasks=None, distributed=True,
+                 output_dir=None):
+        assert tasks is None or isinstance(tasks, dict), \
+            "tasks shim accepts None or an old-style CfgNode"
         assert isinstance(distributed, bool)
         self.dataset_name = dataset_name
         INSTANTIATED.append((type(self).__name__, dataset_name, output_dir))

@@ -1,10 +1,12 @@
 """Execute the D2-dependent half of scripts/eval_detectron2.py against the
-tests/detectron2_stub API stub (reference-era d2 v0.2 signatures): ROI-head
-registration, D2-config construction, weight-dict load through
-DetectionCheckpointer matching heuristics, the resume path's save_dir
-contract, evaluator selection for all three dataset kinds, and the TB
-metric flattening — none of which can run against real detectron2 here
-(its CUDA ops are GPU-only; reference scripts/eval_detectron2.py:81-226).
+tests/detectron2_stub API stub (d2>=0.4 semantics: `_trainer` exists, and
+evaluators take positional `tasks` with the CfgNode deprecation shim the
+reference relies on): ROI-head registration, D2-config construction,
+weight-dict load through DetectionCheckpointer matching heuristics, the
+resume path's save_dir contract, evaluator selection for all three dataset
+kinds, and the TB metric flattening — none of which can run against real
+detectron2 here (its CUDA ops are GPU-only; reference
+scripts/eval_detectron2.py:81-226).
 """
 import argparse
 import os
@@ -39,7 +41,15 @@ SOLVER:
 @pytest.fixture
 def d2_stub(monkeypatch):
     """Put the stub on sys.path and hand back its recording modules; purge
-    any cached detectron2 imports on both sides of the test."""
+    any cached detectron2 imports on both sides of the test.
+
+    These tests call eval_detectron2.main() IN-PROCESS, so common_setup's
+    setup_fast_rng would flip the process-global PRNG impl to rbg and break
+    later jitted-vs-eager parity tests (dropout streams differ between
+    lowering paths under rbg) — pin threefry and restore the config."""
+    monkeypatch.setenv("VIRTEX_TPU_THREEFRY", "1")
+    import jax
+    prev_impl = jax.config.jax_default_prng_impl
     for mod in [m for m in sys.modules if m.split(".")[0] == "detectron2"]:
         del sys.modules[mod]
     monkeypatch.syspath_prepend(os.path.join(HERE, "detectron2_stub"))
@@ -51,6 +61,7 @@ def d2_stub(monkeypatch):
     yield ckpt, ev
     for mod in [m for m in sys.modules if m.split(".")[0] == "detectron2"]:
         del sys.modules[mod]
+    jax.config.update("jax_default_prng_impl", prev_impl)
 
 
 def make_args(tmp_path, **kw):

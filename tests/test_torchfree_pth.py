@@ -93,29 +93,44 @@ def test_legacy_format_without_torch(tmp_path, monkeypatch):
                                   sd["fc.weight"].numpy())
 
 
-def test_benign_non_torch_globals_reach_torch_fallback(tmp_path):
+def test_benign_namespace_loads_torch_free(tmp_path, monkeypatch):
     """A torchvision training-script checkpoint saves argparse.Namespace
-    alongside the state dict (reference clf_linear.py:137-141): the
-    restricted reader refuses the graph, and load_torch_checkpoint must
-    then reach the torch.load fallback rather than crash."""
+    alongside the state dict (reference clf_linear.py:137-141): the reader
+    rebuilds it as an inert opaque object — NO torch fallback (which would
+    be an arbitrary-code-execution hole for refused pickles) and no torch
+    needed at all."""
     import argparse
-    import pickle
     path = str(tmp_path / "tv_train.pth")
     sd = {"fc.weight": torch.randn(4, 4)}
     torch.save({"state_dict": sd, "args": argparse.Namespace(lr=0.1)}, path)
-    with pytest.raises(pickle.UnpicklingError):
-        _read_pth_without_torch(path)
+    monkeypatch.setitem(sys.modules, "torch", None)
     out = load_torch_checkpoint(path)
     np.testing.assert_array_equal(out["fc.weight"], sd["fc.weight"].numpy())
 
 
+def test_refused_globals_stand_even_with_torch_importable(tmp_path):
+    """A refused global must raise from load_torch_checkpoint — NOT route
+    into torch.load(weights_only=False), which would execute exactly the
+    pickle globals the refusal blocked (torch importable here)."""
+    import pickle
+    import zipfile
+
+    # A graph referencing a non-allowlisted callable: os.system.
+    payload = pickle.dumps({"model": {}, "cmd": __import__("os").system})
+    path = str(tmp_path / "refused.pth")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", payload)
+    with pytest.raises(pickle.UnpicklingError, match="refusing"):
+        load_torch_checkpoint(path)
+
+
 def test_refused_globals_without_torch_raise_informatively(tmp_path,
                                                            monkeypatch):
-    import argparse
+    import pathlib
     import pickle
     path = str(tmp_path / "tv_train2.pth")
     torch.save({"state_dict": {"w": torch.zeros(2)},
-                "args": argparse.Namespace()}, path)
+                "where": pathlib.PurePosixPath("x")}, path)
     monkeypatch.setitem(sys.modules, "torch", None)
     with pytest.raises(pickle.UnpicklingError, match="refusing"):
         load_torch_checkpoint(path)

@@ -227,6 +227,13 @@ _ALLOWED_GLOBALS = {
     ("builtins", "frozenset"), ("builtins", "bytearray"),
 }
 
+# Known-benign non-torch globals that real checkpoints carry next to the
+# tensors (a torchvision training-script checkpoint saves its argparse
+# args, reference clf_linear.py:137-141). Rebuilt as inert
+# _OpaqueObjects — their content is irrelevant, only the tensors matter.
+# Do NOT widen this casually: anything not here is refused outright.
+_OPAQUE_GLOBALS = {("argparse", "Namespace")}
+
 # One distinct stub class per storage-type name, so persistent_load can
 # recover the dtype from the class the pickle stream referenced.
 _storage_stub_cache: Dict[str, type] = {}
@@ -307,7 +314,7 @@ class _RestrictedUnpickler(pickle.Unpickler):
             return super().find_class(module, name)
         if module.startswith("torch") and name.endswith("Storage"):
             return _storage_stub(name)
-        if module.startswith("torch"):
+        if module.startswith("torch") or (module, name) in _OPAQUE_GLOBALS:
             return _OpaqueObject
         # Anything else in a checkpoint is unexpected — refuse rather
         # than execute arbitrary pickle globals.
@@ -444,24 +451,31 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     reference checkpoint) and legacy pickle files (reference-era
     torchvision ImageNet weights) are both parsed with
     zipfile/pickle+numpy, so a TPU-native deployment needs no torch.
-    ``torch.load`` remains the last-resort fallback — for ancient
-    tar-format files AND for pickle graphs the restricted readers refuse
-    (e.g. an ``argparse.Namespace`` saved alongside a torchvision
-    ``state_dict``, reference ``clf_linear.py:137-141``) — whenever torch
-    is importable; without torch the informative refusal propagates."""
+    ``torch.load`` remains the last-resort fallback for FORMAT-unknown
+    files only (ancient tar-format etc., when torch is importable). A
+    ``pickle.UnpicklingError`` — the restricted readers REFUSING a graph
+    — always propagates: routing refused pickles into
+    ``torch.load(weights_only=False)`` would execute exactly the globals
+    the refusal blocked. Known-benign extras real checkpoints carry (the
+    ``argparse.Namespace`` a torchvision training script saves beside its
+    ``state_dict``, reference ``clf_linear.py:137-141``) are instead
+    rebuilt as inert objects by the readers themselves
+    (``_OPAQUE_GLOBALS``)."""
     try:
         ckpt = _read_pth_without_torch(path)
-    except (ValueError, pickle.UnpicklingError) as primary_err:
+    except ValueError:
+        # Not zip-format — try the legacy reader; if the FORMAT is still
+        # unrecognized, fall back to torch. Refusals (UnpicklingError)
+        # from either reader stand.
         try:
             ckpt = _read_legacy_pth_without_torch(path)
-        except Exception:
-            # Unknown/ancient format, or a graph with non-torch globals —
-            # only torch itself reads these (same trust model as the
-            # reference's own CheckpointManager.load).
+        except pickle.UnpicklingError:
+            raise
+        except Exception as legacy_err:
             try:
                 import torch
             except ImportError:
-                raise primary_err from None
+                raise legacy_err from None
             ckpt = torch.load(path, map_location="cpu", weights_only=False)
     # reference checkpoints nest under "model"; torchvision training-script
     # checkpoints under "state_dict" (reference clf_linear.py:137-141)
