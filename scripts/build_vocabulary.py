@@ -1,9 +1,19 @@
 r"""
 Build the BPE caption vocabulary from COCO train2017 captions.
 
-Parity target: reference ``scripts/build_vocabulary.py:12-96`` — vocab
+Role parity: reference ``scripts/build_vocabulary.py:12-96`` — vocab
 10000, lowercase + NFKD accent stripping, special tokens ``<unk>``=0
 (doubles as padding), ``[SOS]``=1, ``[EOS]``=2, ``[MASK]``=3.
+
+**Training parity is NOT claimed**: this trains the HF-tokenizers BPE
+trainer, not SentencePiece's — merge selection/tie-breaking differ, so a
+vocabulary trained here will NOT byte-match the reference's
+``coco_10k.model`` even on the identical corpus. Reference-parity runs must
+point ``DATA.TOKENIZER_MODEL`` at the reference's actual ``.model`` (the
+SP-proto importer in ``virtex_tpu/data/tokenizers.py`` reads it directly,
+gated by ``scripts/tokenizer_selfcheck.py``). Alongside the native JSON,
+this CLI also writes ``<prefix>.sp.model`` — our vocab exported as an SP
+ModelProto (round-trip tested) for SP-format consumers.
 """
 from __future__ import annotations
 
@@ -15,7 +25,10 @@ import unicodedata
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from virtex_tpu.data.tokenizers import train_tokenizer
+from virtex_tpu.data.tokenizers import (
+    export_sentencepiece_model,
+    train_tokenizer,
+)
 
 
 def main(_A) -> None:
@@ -36,8 +49,14 @@ def main(_A) -> None:
                 exist_ok=True)
     out = _A.output_prefix + ".model"
     train_tokenizer(captions, out, vocab_size=_A.vocab_size)
+    sp_out = _A.output_prefix + ".sp.model"
+    export_sentencepiece_model(out, sp_out)
     print(f"Trained {_A.vocab_size}-token vocabulary on {len(captions)} "
-          f"captions → {out}")
+          f"captions → {out} (+ SP-proto export {sp_out})")
+    print("NOTE: HF-BPE trainer, not SentencePiece — this vocabulary will "
+          "NOT match a SentencePiece-trained one (e.g. the reference's "
+          "coco_10k.model); point DATA.TOKENIZER_MODEL at the reference's "
+          ".model for parity runs.")
 
 
 if __name__ == "__main__":

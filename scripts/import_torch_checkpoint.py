@@ -23,16 +23,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main(_A) -> None:
-    import jax
+    import jax  # noqa: F401  (backend must initialize after the override)
 
-    # Honor the repo's virtual-CPU convention (common_setup does the same):
-    # some dev environments override $JAX_PLATFORMS at import.
-    if "xla_force_host_platform_device_count" in os.environ.get(
-            "XLA_FLAGS", ""):
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+    from virtex_tpu.utils.common import apply_platform_override
+
+    apply_platform_override()
 
     import numpy as np
     import orbax.checkpoint as ocp

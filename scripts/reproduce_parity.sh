@@ -114,6 +114,12 @@ PY
     --output "$WORKDIR/reimported" --iteration 4
   CKPT="$WORKDIR/reimported"
 
+  say "[synthetic] feature bit-check (torch reference model vs converted flax, same .pth)"
+  python scripts/feature_bitcheck.py \
+    --config configs/_base_bicaptioning_R_50_L1_H1024.yaml \
+    --config-override "${TINY[@]}" \
+    --checkpoint-path "$WORKDIR/exported.pth"
+
   say "[synthetic] eval_captioning --calc-metrics (CIDEr on fixture COCO val)"
   python scripts/eval_captioning.py \
     --config configs/_base_bicaptioning_R_50_L1_H1024.yaml \
@@ -181,10 +187,13 @@ python scripts/import_torch_checkpoint.py \
 CKPT="$WORKDIR/$MODEL_NAME"
 
 say "[2/5] feature bit-check vs the published torch weights"
-# Composed-decode/logit parity against the imported reference modules runs
-# in tests/test_reference_parity.py; with the real checkpoint present this
-# checks the converted CNN's (B,7,7,2048) grid against torch layer by layer.
-python -m pytest tests/test_convert.py tests/test_reference_parity.py -q || true
+# Load the fetched .pth into BOTH the reference torch model and the
+# converted flax model; require agreement on the (B,7,7,2048) layer4 grid,
+# the composed training loss, and d(loss)/d(image). HARD gate: a converter
+# drift here aborts the closure (set -e) before any quality number is read.
+python scripts/feature_bitcheck.py \
+  --config "$REPO/configs/$MODEL_CONFIG" \
+  --checkpoint-path "$PTH"
 
 say "[3/5] eval_captioning on COCO val2017 (expect CIDEr $EXPECT_CIDER, SPICE $EXPECT_SPICE)"
 python scripts/eval_captioning.py \

@@ -77,9 +77,14 @@ def main() -> int:
         is_native_json = f.read(64).lstrip()[:1] == b"{"
 
     # Mode 1: real SentencePiece runtime present → direct cross-check.
+    # Gate on CONTENT, not extension: the synthetic rehearsal trains an
+    # HF-native JSON tokenizer saved with a ``.model`` suffix, and
+    # ``sp.Load()`` would crash on JSON bytes on exactly the machine where
+    # sentencepiece IS importable (the real-mode closure host). The
+    # extension check stays only as a fast path.
     try:
         import sentencepiece as spm  # type: ignore
-        have_spm = not args.model.endswith(".json")
+        have_spm = not args.model.endswith(".json") and not is_native_json
     except ImportError:
         have_spm = False
     if have_spm:

@@ -66,6 +66,62 @@ class TorchResNet18(nn.Module):
                     nn.init.zeros_(m.bn2.weight)
 
 
+class Bottleneck(nn.Module):
+    """torchvision-layout bottleneck (1x1 → 3x3[stride] → 1x1×4)."""
+
+    def __init__(self, c_in, width, stride=1):
+        super().__init__()
+        c_out = 4 * width
+        self.conv1 = nn.Conv2d(c_in, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, c_out, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(c_out)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = None
+        if stride != 1 or c_in != c_out:
+            self.downsample = nn.Sequential(
+                nn.Conv2d(c_in, c_out, 1, stride, bias=False),
+                nn.BatchNorm2d(c_out))
+
+    def forward(self, x):
+        identity = x if self.downsample is None else self.downsample(x)
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        return self.relu(out + identity)
+
+
+class TorchResNet50(nn.Module):
+    """Faithful torch ResNet-50 with torchvision's exact module layout —
+    needed so ``scripts/feature_bitcheck.py`` can load the FLAGSHIP
+    (``torchvision::resnet50``) reference checkpoints on a torchvision-less
+    box. State-dict surface is pinned against
+    ``torchvision_stub.make_torch_resnet50_sd`` by
+    ``test_train_trajectory_parity.py``."""
+
+    BLOCKS = [(64, 64, 1, 3), (256, 128, 2, 4),
+              (512, 256, 2, 6), (1024, 512, 2, 3)]
+
+    def __init__(self, zero_init_residual=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        for i, (c_in, width, stride, n) in enumerate(self.BLOCKS, start=1):
+            blocks = [Bottleneck(c_in, width, stride)]
+            blocks += [Bottleneck(4 * width, width) for _ in range(n - 1)]
+            setattr(self, f"layer{i}", nn.Sequential(*blocks))
+        self.avgpool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Linear(2048, 1000)
+        if zero_init_residual:
+            for m in self.modules():
+                if isinstance(m, Bottleneck):
+                    nn.init.zeros_(m.bn3.weight)
+
+
 def _stub_module(name):
     """A ``types.ModuleType`` with a real ``__spec__`` so in-process callers
     of ``importlib.util.find_spec`` see a normal module instead of raising
@@ -81,15 +137,17 @@ def _install_fake_torchvision():
     tv = _stub_module("torchvision")
     models = _stub_module("torchvision.models")
 
-    def resnet18(pretrained=False, zero_init_residual=False, **kw):
-        if pretrained:
-            # Same outcome a torchvision-less box gives (ImportError from
-            # ``import torchvision``), just deferred to the weights request:
-            # this stub has no model zoo to download from.
-            raise ImportError(
-                "reference_stubs torchvision stub: pretrained weights are "
-                "not available (real torchvision is not installed)")
-        return TorchResNet18(zero_init_residual)
+    def _make_factory(cls):
+        def factory(pretrained=False, zero_init_residual=False, **kw):
+            if pretrained:
+                # Same outcome a torchvision-less box gives (ImportError
+                # from ``import torchvision``), just deferred to the weights
+                # request: this stub has no model zoo to download from.
+                raise ImportError(
+                    "reference_stubs torchvision stub: pretrained weights "
+                    "are not available (real torchvision is not installed)")
+            return cls(zero_init_residual)
+        return factory
 
     def _models_getattr(name):
         # PEP 562 fallback: unknown arch → clear stub error. Must be
@@ -97,9 +155,11 @@ def _install_fake_torchvision():
         # ``__file__`` behave normally.
         raise AttributeError(
             f"reference_stubs torchvision stub: models.{name} is not "
-            "provided (only resnet18; real torchvision is not installed)")
+            "provided (only resnet18/resnet50; real torchvision is not "
+            "installed)")
 
-    models.resnet18 = resnet18
+    models.resnet18 = _make_factory(TorchResNet18)
+    models.resnet50 = _make_factory(TorchResNet50)
     models.__getattr__ = _models_getattr
     tv.models = models
     datasets = _stub_module("torchvision.datasets")

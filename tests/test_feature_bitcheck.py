@@ -1,0 +1,151 @@
+"""scripts/feature_bitcheck.py is the real-data closure's step [2/5] gate
+(round-5 verdict #1): a .pth loaded into BOTH the reference torch model and
+the converted flax model must agree on the layer4 grid, the composed
+training loss, and d(loss)/d(image) — and a deliberately perturbed weight
+must make it FAIL (the old step was `pytest ... || true`, which could not).
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from reference_stubs import install_reference_stubs  # noqa: E402
+
+install_reference_stubs()
+
+try:
+    from virtex.models.captioning import (
+        BidirectionalCaptioningModel as RefBidirectional,
+    )
+    from virtex.modules.textual_heads import TransformerDecoderTextualHead
+    from virtex.modules.visual_backbones import TorchvisionVisualBackbone
+    HAVE_REFERENCE = True
+except Exception:  # reference tree not mounted
+    HAVE_REFERENCE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_REFERENCE,
+                                reason="reference repo not available")
+
+VOCAB, H, HEADS, FF, L, MAXLEN, IMG = 40, 32, 4, 64, 1, 10, 64
+
+OVERRIDES = [
+    "MODEL.VISUAL.NAME", "torchvision::resnet18",
+    "MODEL.VISUAL.FEATURE_SIZE", "512",
+    "MODEL.TEXTUAL.NAME", f"transdec_postnorm::L{L}_H{H}_A{HEADS}_F{FF}",
+    "DATA.VOCAB_SIZE", str(VOCAB),
+    "DATA.MAX_CAPTION_LENGTH", str(MAXLEN),
+    "DATA.IMAGE_CROP_SIZE", str(IMG),
+]
+CONFIG = os.path.join(REPO, "configs", "_base_bicaptioning_R_50_L1_H1024.yaml")
+
+
+def _save_reference_pth(path):
+    torch.manual_seed(23)
+    ref = RefBidirectional(
+        TorchvisionVisualBackbone("resnet18", visual_feature_size=512),
+        TransformerDecoderTextualHead(
+            visual_feature_size=512, vocab_size=VOCAB, hidden_size=H,
+            num_layers=L, attention_heads=HEADS, feedforward_size=FF,
+            dropout=0.0, norm_first=False, max_caption_length=MAXLEN,
+            padding_idx=0),
+        sos_index=1, eos_index=2)
+    torch.save({"model": ref.state_dict(), "iteration": 1}, path)
+
+
+def _run(pth, monkeypatch, extra=()):
+    import feature_bitcheck
+    monkeypatch.setattr(sys, "argv", [
+        "feature_bitcheck.py", "--config", CONFIG,
+        "--checkpoint-path", pth, "--config-override", *OVERRIDES, *extra])
+    return feature_bitcheck.main()
+
+
+def test_bitcheck_passes_on_faithful_conversion(tmp_path, monkeypatch,
+                                                capsys):
+    pth = str(tmp_path / "ref.pth")
+    _save_reference_pth(pth)
+    assert _run(pth, monkeypatch) == 0
+    out = capsys.readouterr().out
+    assert "feature_bitcheck: PASS" in out
+    assert "layer4 grid" in out and "d(loss)/d(image)" in out
+
+
+def _perturbing_converter(monkeypatch, pick_leaf):
+    """Simulate the failure class the gate exists to catch — a CONVERTER
+    bug that silently maps one tensor wrong (perturbing the .pth itself
+    would perturb BOTH sides identically and still agree). ``pick_leaf``
+    selects the flax-side tensor to corrupt from the converted tree."""
+    from virtex_tpu.utils import checkpoint_convert as cc
+    original = cc.convert_virtex_checkpoint
+
+    def bad_convert(sd, **kw):
+        out = original(sd, **kw)
+        leaf_path, leaf = pick_leaf(out)
+        rng = np.random.RandomState(99)
+        leaf_parent = out
+        for k in leaf_path[:-1]:
+            leaf_parent = leaf_parent[k]
+        leaf_parent[leaf_path[-1]] = leaf + 0.05 * rng.randn(
+            *np.shape(leaf)).astype(np.float32)
+        return out
+
+    monkeypatch.setattr(cc, "convert_virtex_checkpoint", bad_convert)
+
+
+def _cnn_leaf(out):
+    cnn = out["params"]["visual"]["cnn"]
+    path = ["params", "visual", "cnn"]
+    node = cnn
+    while isinstance(node, dict):  # descend to the first array leaf
+        key = sorted(node)[0]
+        path.append(key)
+        node = node[key]
+    return path, node
+
+
+def _textual_leaf(out):
+    kernel = out["params"]["textual"]["visual_projection"]["kernel"]
+    return ["params", "textual", "visual_projection", "kernel"], kernel
+
+
+def test_bitcheck_fails_on_converter_drift_cnn(tmp_path, monkeypatch,
+                                               capsys):
+    pth = str(tmp_path / "ref.pth")
+    _save_reference_pth(pth)
+    _perturbing_converter(monkeypatch, _cnn_leaf)
+    assert _run(pth, monkeypatch) == 1
+    out = capsys.readouterr().out
+    assert "[FAIL] layer4 grid" in out
+
+
+def test_bitcheck_fails_on_converter_drift_textual(tmp_path, monkeypatch,
+                                                   capsys):
+    pth = str(tmp_path / "ref.pth")
+    _save_reference_pth(pth)
+    _perturbing_converter(monkeypatch, _textual_leaf)
+    assert _run(pth, monkeypatch) == 1
+    out = capsys.readouterr().out
+    # The CNN is untouched, so the grid still PASSes; the drift surfaces in
+    # the textual path. Observed: a 5% visual_projection perturbation moves
+    # mean CE by <0.1% (log-V-dominated) yet flips d(loss)/d(image) by
+    # rel≈2.5 — the BACKWARD check is what catches this class.
+    assert "[PASS] layer4 grid" in out
+    assert "[FAIL] d(loss)/d(image)" in out
+
+
+def test_bitcheck_fails_on_wrong_shaped_checkpoint(tmp_path, monkeypatch,
+                                                   capsys):
+    """A checkpoint whose weights don't even fit the config (e.g. wrong
+    model fetched) must fail at the state-dict load, not crash."""
+    pth = str(tmp_path / "tiny.pth")
+    torch.save({"model": {"visual.cnn.conv1.weight": torch.zeros(1)}}, pth)
+    try:
+        rc = _run(pth, monkeypatch)
+    except Exception:  # converter/loader raising IS a nonzero gate exit
+        rc = 1
+    assert rc != 0

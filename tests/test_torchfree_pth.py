@@ -166,6 +166,51 @@ def test_out_of_bounds_tensor_record_refused(tmp_path):
         _read_pth_without_torch(path)
 
 
+def test_format_unknown_reaches_torch_fallback(tmp_path, monkeypatch):
+    """A file that is neither zip- nor legacy-pickle-format (e.g. an
+    ancient tar-format .pth) must reach the torch.load fallback — the
+    legacy reader's plain UnpicklingError on non-pickle bytes is a parse
+    failure, not a refusal."""
+    path = str(tmp_path / "ancient.pth")
+    with open(path, "wb") as f:
+        f.write(b"ustar\x00 not a pickle at all \xff\xfe")
+    calls = {}
+
+    def fake_load(p, map_location=None, weights_only=None):
+        calls["path"] = p
+        return {"model": {"w": np.zeros(2, np.float32)}}
+
+    monkeypatch.setattr(torch, "load", fake_load)
+    out = load_torch_checkpoint(path)
+    assert calls["path"] == path
+    np.testing.assert_array_equal(out["w"], np.zeros(2, np.float32))
+
+
+def test_format_unknown_without_torch_raises_clearly(tmp_path, monkeypatch):
+    path = str(tmp_path / "ancient2.pth")
+    with open(path, "wb") as f:
+        f.write(b"ustar\x00 not a pickle at all \xff\xfe")
+    monkeypatch.setitem(sys.modules, "torch", None)
+    with pytest.raises(ValueError, match="unrecognized checkpoint format"):
+        load_torch_checkpoint(path)
+
+
+def test_legacy_refusal_stands_with_torch_importable(tmp_path, monkeypatch):
+    """A REFUSED global inside a non-zip pickle must still raise — never
+    route into torch.load(weights_only=False)."""
+    import pickle
+    path = str(tmp_path / "refused_legacy.pth")
+    with open(path, "wb") as f:
+        f.write(pickle.dumps(__import__("os").system))
+
+    def must_not_call(*a, **k):  # pragma: no cover - failure path
+        raise AssertionError("torch.load reached for a refused pickle")
+
+    monkeypatch.setattr(torch, "load", must_not_call)
+    with pytest.raises(pickle.UnpicklingError, match="refusing"):
+        load_torch_checkpoint(path)
+
+
 def test_refuses_arbitrary_globals(tmp_path):
     """The reader must not execute arbitrary pickle globals (it's fed
     downloaded files): a pickle referencing os.system raises."""

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from reference_stubs import (
     TorchResNet18 as _TorchResNet18,
+    TorchResNet50 as _TorchResNet50,
     install_reference_stubs,
 )
 
@@ -140,6 +141,19 @@ def test_fake_torchvision_matches_torchvision_layout():
     from torchvision_stub import make_torch_resnet18_sd
     want = make_torch_resnet18_sd()
     got = _TorchResNet18().state_dict()
+    got = {k: v for k, v in got.items()
+           if "num_batches_tracked" not in k and not k.startswith("fc.")}
+    assert set(got) == set(want)
+    for k in want:
+        assert tuple(got[k].shape) == tuple(want[k].shape), k
+
+
+def test_fake_torchvision_resnet50_matches_torchvision_layout():
+    """Same pin for the injected ResNet-50 (the flagship backbone used by
+    scripts/feature_bitcheck.py on torchvision-less machines)."""
+    from torchvision_stub import make_torch_resnet50_sd
+    want = make_torch_resnet50_sd()
+    got = _TorchResNet50().state_dict()
     got = {k: v for k, v in got.items()
            if "num_batches_tracked" not in k and not k.startswith("fc.")}
     assert set(got) == set(want)

@@ -171,10 +171,20 @@ def train_tokenizer(
     strip_accents: bool = True,
 ) -> "SentencePieceBPETokenizer":
     """Train a BPE vocabulary over captions and serialize it to
-    ``output_path``. Equivalent of the reference's SentencePiece training
-    (``scripts/build_vocabulary.py:86-96``): vocab 10000, full character
-    coverage, control symbols [SOS]/[EOS]/[MASK], ``<unk>`` at index 0
-    doubling as padding."""
+    ``output_path``. Role-equivalent of the reference's SentencePiece
+    training (``scripts/build_vocabulary.py:86-96``): vocab 10000, full
+    character coverage, control symbols [SOS]/[EOS]/[MASK], ``<unk>`` at
+    index 0 doubling as padding.
+
+    **Training parity with SentencePiece is NOT claimed.** This trains the
+    HF-tokenizers BPE trainer, whose merge selection and tie-breaking
+    differ from SentencePiece's — a vocabulary trained HERE on the same
+    corpus will NOT byte-match the reference's ``coco_10k.model``. Parity
+    runs must import the reference's actual ``.model`` (the SP-proto
+    importer above + ``scripts/tokenizer_selfcheck.py`` gate that). The
+    inverse direction IS covered: :func:`export_sentencepiece_model` emits
+    our trained vocab as an SP proto, round-trip-tested to identical
+    encodes (``tests/test_tokenizer.py``)."""
     tok = Tokenizer(models.BPE(unk_token="<unk>"))
     tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
     tok.decoder = decoders.Metaspace(replacement="▁")
@@ -188,3 +198,73 @@ def train_tokenizer(
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     tok.save(output_path)
     return SentencePieceBPETokenizer(output_path)
+
+
+# SentencePiece piece types (sentencepiece_model.proto).
+_SP_NORMAL, _SP_UNKNOWN, _SP_CONTROL = 1, 2, 3
+
+
+def export_sentencepiece_model(model_path: str, output_path: str) -> None:
+    """Export a native HF-JSON vocabulary (from :func:`train_tokenizer`)
+    as a binary SentencePiece ``ModelProto``.
+
+    Makes vocabularies trained HERE consumable by SP-proto readers — the
+    importer above, and the SentencePiece runtime itself. Merge order is
+    recorded the way SentencePiece's own BPE trainer records it
+    (``bpe_model_trainer.cc``): each merged piece's score is its negated
+    merge rank, which is exactly what ``_tokenizer_from_sentencepiece``
+    reconstructs merges from — so train → export → reimport yields
+    identical encodes (round-trip test in ``tests/test_tokenizer.py``).
+
+    NOTE the asymmetry (see :func:`train_tokenizer`): this does NOT make
+    our trainer reproduce a SentencePiece-trained model; it makes our
+    trained model readable through the SentencePiece format.
+    """
+    import json as _json
+
+    from transformers.utils import sentencepiece_model_pb2_new as spb
+
+    with open(model_path) as f:
+        blob = _json.load(f)
+    model = blob["model"]
+    if model.get("type") != "BPE":
+        raise ValueError(f"{model_path}: not a BPE tokenizer JSON")
+    vocab: Dict[str, int] = model["vocab"]
+    merges = [tuple(m.split(" ", 1)) if isinstance(m, str) else tuple(m)
+              for m in model["merges"]]
+    id_to_piece = [None] * len(vocab)
+    for piece, i in vocab.items():
+        id_to_piece[i] = piece
+    product_rank: Dict[str, int] = {}
+    for rank, (left, right) in enumerate(merges):
+        product_rank.setdefault(left + right, rank)
+
+    proto = spb.ModelProto()
+    n_unranked = 0
+    for piece in id_to_piece:
+        p = proto.pieces.add()
+        p.piece = piece
+        if piece == "<unk>":
+            p.type, p.score = _SP_UNKNOWN, 0.0
+        elif piece in SPECIAL_TOKENS:
+            p.type, p.score = _SP_CONTROL, 0.0
+        elif piece in product_rank:
+            p.type, p.score = _SP_NORMAL, -float(product_rank[piece])
+        else:
+            # alphabet/base pieces: never merge candidates, rank-neutral;
+            # composite NORMAL pieces without a recorded merge shouldn't
+            # exist in BPE output, but rank them after every real merge
+            # rather than corrupt the order.
+            if len(piece) >= 2:
+                n_unranked += 1
+                p.type = _SP_NORMAL
+                p.score = -float(len(merges) + n_unranked)
+            else:
+                p.type, p.score = _SP_NORMAL, 0.0
+    proto.trainer_spec.model_type = 2  # BPE
+    proto.trainer_spec.vocab_size = len(vocab)
+    proto.trainer_spec.byte_fallback = False
+    proto.trainer_spec.unk_id = UNK_INDEX
+    os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+    with open(output_path, "wb") as f:
+        f.write(proto.SerializeToString())

@@ -247,16 +247,25 @@ def _storage_stub(name: str) -> type:
     return cls
 
 
+class RefusedPickleError(pickle.UnpicklingError):
+    """A restricted reader DELIBERATELY refused the pickle graph (unknown
+    global, malformed/out-of-bounds tensor record, unsupported storage).
+    Distinct from a plain :class:`pickle.UnpicklingError` raised by the
+    pickle machinery on non-pickle bytes ("invalid load key ..."), so
+    :func:`load_torch_checkpoint` can let refusals stand while genuinely
+    format-unknown files still reach the torch fallback."""
+
+
 def _pid_storage(pid, path: str):
     """Validate a torch persistent id ``('storage', type, key, location,
     numel[, view_metadata])`` → ``(key, numpy dtype, is_bf16)``."""
     if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
-        raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+        raise RefusedPickleError(f"unknown persistent id {pid!r}")
     storage_type, key = pid[1], pid[2]
     dtype_name = getattr(storage_type, "__name__", str(storage_type))
     dtype = _STORAGE_DTYPES.get(dtype_name)
     if dtype is None:
-        raise pickle.UnpicklingError(
+        raise RefusedPickleError(
             f"unsupported storage type {dtype_name} in {path}")
     return key, dtype, dtype_name == "BFloat16Storage"
 
@@ -273,12 +282,12 @@ def _strided_view(base: np.ndarray, offset, size, stride,
     offset = int(offset)
     if (len(size) != len(stride) or offset < 0
             or any(s < 0 for s in size) or any(s < 0 for s in stride)):
-        raise pickle.UnpicklingError(f"malformed tensor record in {path}")
+        raise RefusedPickleError(f"malformed tensor record in {path}")
     if 0 in size:
         return np.zeros(size, dtype=base.dtype)
     last = offset + sum((sz - 1) * st for sz, st in zip(size, stride))
     if last >= len(base):
-        raise pickle.UnpicklingError(
+        raise RefusedPickleError(
             f"tensor record in {path} reads outside its storage "
             f"(element {last} of {len(base)})")
     arr = np.lib.stride_tricks.as_strided(
@@ -318,7 +327,7 @@ class _RestrictedUnpickler(pickle.Unpickler):
             return _OpaqueObject
         # Anything else in a checkpoint is unexpected — refuse rather
         # than execute arbitrary pickle globals.
-        raise pickle.UnpicklingError(
+        raise RefusedPickleError(
             f"refusing unknown global {module}.{name} in {self._path}")
 
 
@@ -329,40 +338,48 @@ def _read_pth_without_torch(path: str):
     import zipfile
 
     try:
-        zf = zipfile.ZipFile(path)
+        zf_cm = zipfile.ZipFile(path)
     except zipfile.BadZipFile as e:
         raise ValueError(f"{path}: not a zip-format checkpoint") from e
-    pkl_names = [n for n in zf.namelist() if n.split("/")[-1] == "data.pkl"]
-    if not pkl_names:
-        raise ValueError(
-            f"{path}: no data.pkl member — not a torch>=1.6 zip checkpoint "
-            f"(legacy tar/pickle formats need the torch fallback)")
-    pkl_name = min(pkl_names, key=len)
-    prefix = pkl_name[: -len("data.pkl")]
+    # Context-managed: every storage read happens during unpickling (tensor
+    # rebuilds call _StorageRef.load() inline), so the archive handle can
+    # close on return — long-lived processes (zoo fetch/convert loops) must
+    # not leak an fd per checkpoint.
+    with zf_cm as zf:
+        pkl_names = [n for n in zf.namelist()
+                     if n.split("/")[-1] == "data.pkl"]
+        if not pkl_names:
+            raise ValueError(
+                f"{path}: no data.pkl member — not a torch>=1.6 zip "
+                f"checkpoint (legacy tar/pickle formats need the torch "
+                f"fallback)")
+        pkl_name = min(pkl_names, key=len)
+        prefix = pkl_name[: -len("data.pkl")]
 
-    class _StorageRef:
-        __slots__ = ("dtype", "key", "is_bf16")
+        class _StorageRef:
+            __slots__ = ("dtype", "key", "is_bf16")
 
-        def __init__(self, dtype, key, is_bf16):
-            self.dtype, self.key, self.is_bf16 = dtype, key, is_bf16
+            def __init__(self, dtype, key, is_bf16):
+                self.dtype, self.key, self.is_bf16 = dtype, key, is_bf16
 
-        def load(self) -> np.ndarray:
-            arr = np.frombuffer(zf.read(f"{prefix}data/{self.key}"),
-                                dtype=self.dtype)
-            if self.is_bf16:
-                arr = (arr.astype(np.uint32) << 16).view(np.float32)
-            return arr
+            def load(self) -> np.ndarray:
+                arr = np.frombuffer(zf.read(f"{prefix}data/{self.key}"),
+                                    dtype=self.dtype)
+                if self.is_bf16:
+                    arr = (arr.astype(np.uint32) << 16).view(np.float32)
+                return arr
 
-    class _Unpickler(_RestrictedUnpickler):
-        def _rebuild_tensor(self, storage, offset, size, stride):
-            return _strided_view(storage.load(), offset, size, stride, path)
+        class _Unpickler(_RestrictedUnpickler):
+            def _rebuild_tensor(self, storage, offset, size, stride):
+                return _strided_view(storage.load(), offset, size, stride,
+                                     path)
 
-        def persistent_load(self, pid):
-            key, dtype, is_bf16 = _pid_storage(pid, path)
-            return _StorageRef(dtype, key, is_bf16)
+            def persistent_load(self, pid):
+                key, dtype, is_bf16 = _pid_storage(pid, path)
+                return _StorageRef(dtype, key, is_bf16)
 
-    with zf.open(pkl_name) as f:
-        return _Unpickler(f, path).load()
+        with zf.open(pkl_name) as f:
+            return _Unpickler(f, path).load()
 
 
 _LEGACY_MAGIC = 0x1950A86A20F9469CFC6C
@@ -422,7 +439,7 @@ def _read_legacy_pth_without_torch(path: str):
             storage_dtypes[root_key] = dtype
             view_metadata = pid[5] if len(pid) > 5 else None
             if view_metadata is not None:
-                raise pickle.UnpicklingError(
+                raise RefusedPickleError(
                     f"legacy storage views unsupported ({path}); load this "
                     f"file once with torch and re-save")
             return (root_key, dtype, is_bf16)
@@ -453,10 +470,14 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     zipfile/pickle+numpy, so a TPU-native deployment needs no torch.
     ``torch.load`` remains the last-resort fallback for FORMAT-unknown
     files only (ancient tar-format etc., when torch is importable). A
-    ``pickle.UnpicklingError`` — the restricted readers REFUSING a graph
+    :class:`RefusedPickleError` — a restricted reader REFUSING a graph
     — always propagates: routing refused pickles into
     ``torch.load(weights_only=False)`` would execute exactly the globals
-    the refusal blocked. Known-benign extras real checkpoints carry (the
+    the refusal blocked. A PLAIN ``pickle.UnpicklingError`` from the
+    legacy reader means the bytes are not a pickle stream at all
+    ("invalid load key ..." on e.g. an ancient tar-format file), so it
+    takes the format-unknown fallback like any other parse failure.
+    Known-benign extras real checkpoints carry (the
     ``argparse.Namespace`` a torchvision training script saves beside its
     ``state_dict``, reference ``clf_linear.py:137-141``) are instead
     rebuilt as inert objects by the readers themselves
@@ -465,17 +486,20 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
         ckpt = _read_pth_without_torch(path)
     except ValueError:
         # Not zip-format — try the legacy reader; if the FORMAT is still
-        # unrecognized, fall back to torch. Refusals (UnpicklingError)
-        # from either reader stand.
+        # unrecognized (any error that is not a deliberate refusal), fall
+        # back to torch. Refusals from either reader stand.
         try:
             ckpt = _read_legacy_pth_without_torch(path)
-        except pickle.UnpicklingError:
+        except RefusedPickleError:
             raise
         except Exception as legacy_err:
             try:
                 import torch
             except ImportError:
-                raise legacy_err from None
+                raise ValueError(
+                    f"{path}: unrecognized checkpoint format (not torch-zip "
+                    f"or legacy pickle) and torch is not installed for the "
+                    f"fallback") from legacy_err
             ckpt = torch.load(path, map_location="cpu", weights_only=False)
     # reference checkpoints nest under "model"; torchvision training-script
     # checkpoints under "state_dict" (reference clf_linear.py:137-141)
