@@ -165,6 +165,112 @@ def mfu_at(img_per_sec: float, batch: int = 256) -> float:
     return 3.0 * fwd * img_per_sec / batch / V5E_PEAK_BF16
 
 
+# ---------------------------------------------------------------------------
+# Decode roofline (round-5 verdict #6): the analytic anchor for the measured
+# KV-cache decode device times (bench/decode_profile.py: 20.9 ms/call beam-5
+# @ bs32, 11.33 ms/call nucleus @ bs32, full 30 steps, encode included).
+# ---------------------------------------------------------------------------
+
+HEADS = 16  # flagship A16
+
+
+def decode_step_weight_params() -> float:
+    """Matmul params STREAMED from HBM on every decode step (forward-dir
+    textual only): self-attn qkv+out, cross-attn q+out (cross K/V are
+    computed once at init and cached), FFN, tied-embedding logits."""
+    return (4 * HIDDEN * HIDDEN          # self-attn q,k,v,out
+            + 2 * HIDDEN * HIDDEN        # cross-attn q,out
+            + 2 * HIDDEN * FFN           # FFN in+out
+            + HIDDEN * VOCAB             # tied logits
+            + 6 * HIDDEN)                # LN scales/biases (negligible)
+
+
+def decode_init_weight_params() -> float:
+    """Params touched once per call at init_decode: visual projection and
+    the cross-attention K/V projections that fill the static cache."""
+    return VISUAL_FEAT * HIDDEN + 2 * HIDDEN * HIDDEN
+
+
+def decode_account(batch_images: int, beam_size: int, steps: int,
+                   measured_ms: float | None, label: str):
+    """Per-call floor for the compiled caption_fn: R-50 encode (eval BN) +
+    param pre-cast (cast_decode_params) + ``steps`` KV-cache decode steps
+    over R = batch x beams rows. Floors are MAXIMUM(compute, bandwidth)
+    per phase — a lower bound no schedule can beat; the measured/floor
+    ratio quantifies the sequential-small-kernel overhead that dominates
+    latency-bound decode."""
+    R = batch_images * beam_size
+    t_avg = steps / 2.0  # self-attn cache grows 0..steps
+
+    # --- encode phase (once per call) -----------------------------------
+    enc_flops = resnet50_flops_fwd(batch_images, CROP)
+    enc_bytes = (resnet50_act_elems(batch_images, CROP) * 2 * 2  # w+r, bf16
+                 + resnet50_params() * 2                         # weights bf16
+                 + batch_images * CROP * CROP * 3 * 4)           # input fp32
+    # param pre-cast (fp32 read + bf16 write, textual decode set) + init
+    # projections compute
+    cast_bytes = (decode_step_weight_params()
+                  + decode_init_weight_params()) * (4 + 2)
+    init_flops = 2.0 * batch_images * (GRID * VISUAL_FEAT * HIDDEN
+                                       + GRID * 2 * HIDDEN * HIDDEN)
+
+    # --- per decode step --------------------------------------------------
+    w_step = decode_step_weight_params()
+    step_flops = 2.0 * R * (6 * HIDDEN * HIDDEN + 2 * HIDDEN * FFN
+                            + HIDDEN * VOCAB            # matmuls
+                            + 2 * t_avg * HIDDEN        # self QK^T + AV
+                            + 2 * GRID * HIDDEN)        # cross scores+mix
+    step_bytes = (
+        w_step * 2                                      # weights, bf16
+        + 2 * R * t_avg * HIDDEN * 2                    # self K,V cache read
+        + 2 * R * HIDDEN * 2                            # K,V append write
+        + 2 * R * GRID * HIDDEN * 2                     # cross K,V read
+        + R * VOCAB * 4 * 2)                            # logits write + topk read
+    if beam_size > 1:
+        # beam reorder: the flat row-gather rewrites the full static cache
+        # (read + write, K and V) every step — the layout trade measured in
+        # docs/design.md (round-3: flipping it cost 21%).
+        step_bytes += 2 * 2 * R * steps * HIDDEN * 2
+
+    total_flops = enc_flops + init_flops + steps * step_flops
+    total_bytes = enc_bytes + cast_bytes + steps * step_bytes
+    # phase-wise floor: each phase is bound by its own limiting resource
+    floor_ms = 1e3 * (
+        max(enc_flops / V5E_PEAK_BF16, enc_bytes / V5E_HBM_BW)
+        + max(init_flops / V5E_PEAK_BF16, cast_bytes / V5E_HBM_BW)
+        + steps * max(step_flops / V5E_PEAK_BF16, step_bytes / V5E_HBM_BW))
+    weight_ms = 1e3 * steps * w_step * 2 / V5E_HBM_BW
+    out = {
+        "decoder": label,
+        "rows": R,
+        "floor_ms": round(floor_ms, 3),
+        "weight_stream_ms": round(weight_ms, 3),
+        "encode_floor_ms": round(1e3 * max(enc_flops / V5E_PEAK_BF16,
+                                           enc_bytes / V5E_HBM_BW), 3),
+        "step_floor_us": round(1e6 * max(step_flops / V5E_PEAK_BF16,
+                                         step_bytes / V5E_HBM_BW), 1),
+        "total_gflops": round(total_flops / 1e9, 2),
+        "total_mb": round(total_bytes / 1e6, 1),
+    }
+    rows = [
+        (f"[{label}] rows (batch x beams)", f"{R}"),
+        ("encode floor (R-50 fwd)", f"{out['encode_floor_ms']} ms"),
+        ("per-step floor", f"{out['step_floor_us']} us"),
+        ("  of which weight stream", f"{w_step * 2 / V5E_HBM_BW * 1e6:.1f} us"),
+        (f"call floor ({steps} steps)", f"{out['floor_ms']} ms"),
+    ]
+    if measured_ms:
+        out["measured_ms"] = measured_ms
+        out["floor_utilization"] = round(floor_ms / measured_ms, 3)
+        rows.append(("measured device (profile)", f"{measured_ms:.2f} ms"))
+        rows.append(("floor utilization",
+                     f"{100 * floor_ms / measured_ms:.1f} %"))
+    width = max(len(r[0]) for r in rows)
+    for name, val in rows:
+        print(f"  {name:<{width}}  {val}")
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--img-per-sec", type=float, default=2040.0,
@@ -175,7 +281,22 @@ def main():
                     help="device profile step time for --batch; default "
                          "scales the measured 64.15 ms per 128-image "
                          "micro-step linearly with --batch")
+    ap.add_argument("--decode", action="store_true",
+                    help="print the DECODE account (beam-5 + nucleus @ "
+                         "bs32, 30 steps) instead of the train step")
+    ap.add_argument("--decode-batch", type=int, default=32)
+    ap.add_argument("--measured-beam-ms", type=float, default=20.9,
+                    help="decode_profile.py device ms/call, beam-5 @ bs32")
+    ap.add_argument("--measured-nucleus-ms", type=float, default=11.33,
+                    help="decode_profile.py device ms/call, nucleus @ bs32")
     args = ap.parse_args()
+    if args.decode:
+        beam = decode_account(args.decode_batch, 5, CAP_LEN,
+                              args.measured_beam_ms, "beam-5")
+        nucleus = decode_account(args.decode_batch, 1, CAP_LEN,
+                                 args.measured_nucleus_ms, "nucleus")
+        print(json.dumps({"beam": beam, "nucleus": nucleus}))
+        return
     measured_ms = args.measured_step_ms
     if measured_ms is None:
         # Device time is batch-linear in the measured 64-256 range, so the
