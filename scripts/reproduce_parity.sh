@@ -93,6 +93,22 @@ PY
   python scripts/tokenizer_selfcheck.py --model "$WORKDIR/tok.model" \
     --golden "$WORKDIR/tok_golden.json"
 
+  say "[synthetic] BINARY SP-proto importer rehearsal (export -> selfcheck vs the JSON golden)"
+  # Exercises the exact real-data mode-2 path: a binary .model through the
+  # SP-proto merge reconstruction, diffed against a committed golden. The
+  # golden was just written from the native JSON, so any importer drift on
+  # score-ranked protos fails HERE, not on real-data day.
+  python - "$WORKDIR" <<'PY'
+import sys
+from virtex_tpu.data.tokenizers import export_sentencepiece_model
+export_sentencepiece_model(sys.argv[1] + "/tok.model",
+                           sys.argv[1] + "/tok.sp.model")
+PY
+  sed "s/tok.model/tok.sp.model/" "$WORKDIR/tok_golden.json" \
+    > "$WORKDIR/tok_sp_golden.json"
+  python scripts/tokenizer_selfcheck.py --model "$WORKDIR/tok.sp.model" \
+    --golden "$WORKDIR/tok_sp_golden.json"
+
   say "[synthetic] short pretrain -> checkpoint (stands in for the published .pth)"
   python scripts/pretrain_virtex.py \
     --config configs/_base_bicaptioning_R_50_L1_H1024.yaml \

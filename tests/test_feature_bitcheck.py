@@ -138,6 +138,45 @@ def test_bitcheck_fails_on_converter_drift_textual(tmp_path, monkeypatch,
     assert "[FAIL] d(loss)/d(image)" in out
 
 
+def test_bitcheck_passes_on_resnet50_flagship_backbone(tmp_path, monkeypatch,
+                                                       capsys):
+    """The FLAGSHIP backbone through the gate: torch Bottleneck ResNet-50
+    (reference_stubs.TorchResNet50, torchvision layout) vs our flax
+    bottleneck converter — the first COMPOSED R-50 torch-vs-flax check
+    (unit conv/BN parity lives in test_convert; the task-parity tests all
+    use resnet18). 64px keeps the CPU forward cheap; R-50 is fully
+    convolutional so the grid is just 2x2x2048."""
+    from virtex.models.captioning import (
+        ForwardCaptioningModel as RefForward,
+    )
+    torch.manual_seed(31)
+    ref = RefForward(
+        TorchvisionVisualBackbone("resnet50", visual_feature_size=2048),
+        TransformerDecoderTextualHead(
+            visual_feature_size=2048, vocab_size=VOCAB, hidden_size=H,
+            num_layers=L, attention_heads=HEADS, feedforward_size=FF,
+            dropout=0.0, norm_first=False, max_caption_length=MAXLEN,
+            padding_idx=0),
+        sos_index=1, eos_index=2)
+    pth = str(tmp_path / "r50.pth")
+    torch.save({"model": ref.state_dict()}, pth)
+    overrides = list(OVERRIDES)
+    overrides[overrides.index("torchvision::resnet18")] = \
+        "torchvision::resnet50"
+    overrides[overrides.index("512")] = "2048"
+    import feature_bitcheck
+    monkeypatch.setattr(sys, "argv", [
+        "feature_bitcheck.py",
+        "--config", os.path.join(REPO, "configs",
+                                 "task_ablations",
+                                 "captioning_R_50_L1_H2048.yaml"),
+        "--checkpoint-path", pth, "--config-override", *overrides])
+    assert feature_bitcheck.main() == 0
+    out = capsys.readouterr().out
+    assert "visual grid shape (2, 2, 2, 2048)" in out
+    assert "feature_bitcheck: PASS" in out
+
+
 def test_bitcheck_fails_on_wrong_shaped_checkpoint(tmp_path, monkeypatch,
                                                    capsys):
     """A checkpoint whose weights don't even fit the config (e.g. wrong

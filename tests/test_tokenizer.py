@@ -89,6 +89,8 @@ def test_sentencepiece_export_roundtrip(tmp_path):
         "cafe au lait on a wooden table",
         "dogs playing frisbee kitchen wave",   # in-vocab words, new order
         "wavecat boardfox",                    # unseen compounds
+        "the number 42 bus at 9:30",           # OOV digit runs → fused <unk>
+        "a zebra αβγ standing",                # OOV unicode run
         "  whitespace   runs  ",
         "a plate of food with broccoli and rice",
     ]:
@@ -98,3 +100,12 @@ def test_sentencepiece_export_roundtrip(tmp_path):
     for name, idx in [("<unk>", UNK_INDEX), ("[SOS]", SOS_INDEX),
                       ("[EOS]", EOS_INDEX), ("[MASK]", MASK_INDEX)]:
         assert tok2.token_to_id(name) == idx
+
+
+def test_oov_runs_fuse_to_single_unk(tmp_path):
+    """SentencePiece semantics (and the SP importer's fuse_unk): a RUN of
+    unknown characters yields ONE <unk>, not one per character — pinned so
+    the native trainer and the SP-proto path can't drift apart again."""
+    tok = _train(tmp_path)
+    ids = tok.encode("a man 42 riding")  # digits unseen in CORPUS
+    assert ids.count(UNK_INDEX) == 1

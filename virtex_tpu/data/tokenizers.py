@@ -185,7 +185,11 @@ def train_tokenizer(
     inverse direction IS covered: :func:`export_sentencepiece_model` emits
     our trained vocab as an SP proto, round-trip-tested to identical
     encodes (``tests/test_tokenizer.py``)."""
-    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    # fuse_unk=True matches SentencePiece semantics (a run of unknown
+    # characters becomes ONE <unk>) and the SP-proto importer above — the
+    # binary-export round-trip diverges on OOV runs without it (e.g. "42"
+    # → two unks unfused vs one fused).
+    tok = Tokenizer(models.BPE(unk_token="<unk>", fuse_unk=True))
     tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁")
     tok.decoder = decoders.Metaspace(replacement="▁")
     trainer = trainers.BpeTrainer(
