@@ -171,9 +171,6 @@ def mfu_at(img_per_sec: float, batch: int = 256) -> float:
 # @ bs32, 11.33 ms/call nucleus @ bs32, full 30 steps, encode included).
 # ---------------------------------------------------------------------------
 
-HEADS = 16  # flagship A16
-
-
 def decode_step_weight_params() -> float:
     """Matmul params STREAMED from HBM on every decode step (forward-dir
     textual only): self-attn qkv+out, cross-attn q+out (cross K/V are

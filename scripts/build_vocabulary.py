@@ -49,10 +49,18 @@ def main(_A) -> None:
                 exist_ok=True)
     out = _A.output_prefix + ".model"
     train_tokenizer(captions, out, vocab_size=_A.vocab_size)
-    sp_out = _A.output_prefix + ".sp.model"
-    export_sentencepiece_model(out, sp_out)
+    # SP-proto export is best-effort: it needs transformers (for the proto
+    # schema), which is not a declared dependency of this package.
+    sp_note = ""
+    try:
+        sp_out = _A.output_prefix + ".sp.model"
+        export_sentencepiece_model(out, sp_out)
+        sp_note = f" (+ SP-proto export {sp_out})"
+    except ImportError as e:
+        print(f"SP-proto export skipped (needs the transformers package "
+              f"for the proto schema): {e}")
     print(f"Trained {_A.vocab_size}-token vocabulary on {len(captions)} "
-          f"captions → {out} (+ SP-proto export {sp_out})")
+          f"captions → {out}{sp_note}")
     print("NOTE: HF-BPE trainer, not SentencePiece — this vocabulary will "
           "NOT match a SentencePiece-trained one (e.g. the reference's "
           "coco_10k.model); point DATA.TOKENIZER_MODEL at the reference's "

@@ -211,6 +211,73 @@ def test_legacy_refusal_stands_with_torch_importable(tmp_path, monkeypatch):
         load_torch_checkpoint(path)
 
 
+def test_valid_zip_decoy_pickle_never_reaches_torch(tmp_path, monkeypatch):
+    """Round-5 review repro: a VALID zip checkpoint with a decoy short-named
+    data.pkl whose bytes crash our reader must raise — not fall through to
+    torch.load(weights_only=False), which would unpickle the second,
+    attacker-controlled data.pkl torch itself would select."""
+    import pickle
+    import zipfile
+    path = str(tmp_path / "tworoot.pth")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("a/data.pkl", b"\xff\xfe not a pickle")  # decoy (shortest)
+        zf.writestr("archive/data.pkl",
+                    pickle.dumps({"model": {},
+                                  "cmd": __import__("os").system}))
+
+    called = {}
+
+    def fake_load(*a, **k):  # returning success makes a fallthrough VISIBLE
+        called["reached"] = True
+        return {"model": {}}
+
+    monkeypatch.setattr(torch, "load", fake_load)
+    with pytest.raises(Exception):
+        load_torch_checkpoint(path)
+    assert not called, "torch.load reached for a valid-zip file"
+
+
+def test_valid_zip_truncated_storage_never_reaches_torch(tmp_path,
+                                                         monkeypatch):
+    """A valid torch-zip whose storage member is truncated to a non-multiple
+    of the dtype itemsize (np.frombuffer ValueError) must raise, not divert
+    to the unrestricted torch fallback."""
+    import io
+    import pickle
+    import zipfile
+    import torch._utils
+
+    sentinel = object()
+
+    class T:
+        def __reduce__(self):
+            return (torch._utils._rebuild_tensor_v2,
+                    (sentinel, 0, (2,), (1,), False, None))
+
+    class P(pickle.Pickler):
+        def persistent_id(self, obj):
+            return (("storage", torch.FloatStorage, "0", "cpu", 2)
+                    if obj is sentinel else None)
+
+    buf = io.BytesIO()
+    P(buf, protocol=2).dump({"model": {"w": T()}})
+    path = str(tmp_path / "trunc.pth")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", buf.getvalue())
+        zf.writestr("archive/data/0", b"\x00" * 6)  # 6 bytes: not /4
+
+    called = {}
+
+    def fake_load(*a, **k):
+        called["reached"] = True
+        return {"model": {}}
+
+    monkeypatch.setattr(torch, "load", fake_load)
+    with pytest.raises(Exception):
+        load_torch_checkpoint(path)
+    assert not called, "torch.load reached for a valid-zip file"
+
+
 def test_refuses_arbitrary_globals(tmp_path):
     """The reader must not execute arbitrary pickle globals (it's fed
     downloaded files): a pickle referencing os.system raises."""

@@ -269,6 +269,17 @@ def export_sentencepiece_model(model_path: str, output_path: str) -> None:
     proto.trainer_spec.vocab_size = len(vocab)
     proto.trainer_spec.byte_fallback = False
     proto.trainer_spec.unk_id = UNK_INDEX
+    # Pin the normalizer EXPLICITLY: an unset normalizer_spec makes the real
+    # SentencePiece runtime apply proto defaults (nmt_nfkc normalization,
+    # remove_extra_whitespaces=True) that our native path does not perform —
+    # whitespace runs would collapse and encodes diverge on any spm host
+    # (round-5 review finding #2). identity + keep-whitespace +
+    # dummy-prefix/escape matches the HF Metaspace pre-tokenizer exactly.
+    proto.normalizer_spec.name = "identity"
+    proto.normalizer_spec.precompiled_charsmap = b""
+    proto.normalizer_spec.add_dummy_prefix = True
+    proto.normalizer_spec.remove_extra_whitespaces = False
+    proto.normalizer_spec.escape_whitespaces = True
     os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
     with open(output_path, "wb") as f:
         f.write(proto.SerializeToString())

@@ -331,6 +331,16 @@ class _RestrictedUnpickler(pickle.Unpickler):
             f"refusing unknown global {module}.{name} in {self._path}")
 
 
+class NotZipFormatError(ValueError):
+    """``path`` is not a torch>=1.6 zip checkpoint AT ALL (not a zip, or a
+    zip with no ``data.pkl``). The ONLY zip-reader failure that may divert
+    to the legacy/torch fallbacks: any other error from a file that IS a
+    valid torch-zip (refusal, malformed storage, truncation) must
+    propagate — routing it onward would hand a recognized-format file that
+    the restricted reader rejected to ``torch.load(weights_only=False)``
+    (the round-5 review's two-root-archive RCE repro)."""
+
+
 def _read_pth_without_torch(path: str):
     """Parse a torch>=1.6 zip-format ``.pth`` with zipfile+pickle+numpy
     only. Tensors come back as numpy arrays (bfloat16 upcast to float32,
@@ -340,7 +350,7 @@ def _read_pth_without_torch(path: str):
     try:
         zf_cm = zipfile.ZipFile(path)
     except zipfile.BadZipFile as e:
-        raise ValueError(f"{path}: not a zip-format checkpoint") from e
+        raise NotZipFormatError(f"{path}: not a zip-format checkpoint") from e
     # Context-managed: every storage read happens during unpickling (tensor
     # rebuilds call _StorageRef.load() inline), so the archive handle can
     # close on return — long-lived processes (zoo fetch/convert loops) must
@@ -349,7 +359,7 @@ def _read_pth_without_torch(path: str):
         pkl_names = [n for n in zf.namelist()
                      if n.split("/")[-1] == "data.pkl"]
         if not pkl_names:
-            raise ValueError(
+            raise NotZipFormatError(
                 f"{path}: no data.pkl member — not a torch>=1.6 zip "
                 f"checkpoint (legacy tar/pickle formats need the torch "
                 f"fallback)")
@@ -484,10 +494,13 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     (``_OPAQUE_GLOBALS``)."""
     try:
         ckpt = _read_pth_without_torch(path)
-    except ValueError:
-        # Not zip-format — try the legacy reader; if the FORMAT is still
-        # unrecognized (any error that is not a deliberate refusal), fall
-        # back to torch. Refusals from either reader stand.
+    except NotZipFormatError:
+        # Only the NOT-A-ZIP classification falls through (a failure INSIDE
+        # a valid torch-zip — refusal, truncated storage, malformed record —
+        # propagates above: a recognized-format file our reader rejected
+        # must never reach torch.load). Try the legacy reader; if the
+        # FORMAT is still unrecognized (any error that is not a deliberate
+        # refusal), fall back to torch.
         try:
             ckpt = _read_legacy_pth_without_torch(path)
         except RefusedPickleError:
