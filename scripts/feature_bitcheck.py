@@ -5,10 +5,14 @@ model, and require agreement on
 
   1. the layer4 visual grid — ``(B, 7, 7, 2048)`` for ResNet-50 at 224px
      (reference ``virtex/modules/visual_backbones.py:55-74``), eval-mode BN;
-  2. the composed training loss (+ per-direction components), train-mode BN
-     (reference ``virtex/models/captioning.py:111-138``);
+  2. the composed training loss (+ components), train-mode BN
+     (reference ``virtex/models/captioning.py:111-138``,
+     ``masked_lm.py:61-76``, ``classification.py:82-93``);
   3. the full backward pass, via d(loss)/d(image) — one tensor that the
      entire gradient graph of both models feeds into.
+
+All five pretext tasks are supported (bicaptioning/captioning/masked_lm/
+token_classification/multilabel_classification — the whole zoo surface).
 
 Exits nonzero on any mismatch. This is step [2/5] of
 ``scripts/reproduce_parity.sh``: on real-data day it gates the published
@@ -94,7 +98,15 @@ def main() -> int:
         BidirectionalCaptioningModel as RefBidirectional,
         ForwardCaptioningModel as RefForward,
     )
-    from virtex.modules.textual_heads import TransformerDecoderTextualHead
+    from virtex.models.classification import (
+        MultiLabelClassificationModel as RefMultiLabel,
+        TokenClassificationModel as RefTokenCls,
+    )
+    from virtex.models.masked_lm import MaskedLMModel as RefMaskedLM
+    from virtex.modules.textual_heads import (
+        LinearTextualHead as RefLinearHead,
+        TransformerDecoderTextualHead,
+    )
     from virtex.modules.visual_backbones import TorchvisionVisualBackbone
 
     from virtex_tpu.factories import TextualHeadFactory
@@ -107,36 +119,51 @@ def main() -> int:
     model, variables, _C = model_zoo.get(
         os.path.abspath(args.config), pretrained=True,
         checkpoint_path=args.checkpoint_path, overrides=overrides)
-    if _C.MODEL.NAME not in CAPTIONING_MODELS:
-        print(f"feature_bitcheck: MODEL.NAME={_C.MODEL.NAME!r} is not a "
-              f"captioning model — composed-loss parity for the other "
-              f"pretext tasks runs in tests/test_reference_task_parity.py")
-        return 2
+    task = _C.MODEL.NAME
 
-    # ---- reference side: the reference's own model code ------------------
+    # ---- reference side: the reference's own model code, wired the way
+    # the reference factory wires it (factories.py:440-470) ----------------
     arch = _C.MODEL.VISUAL.NAME.split("::")[-1]
-    m = TextualHeadFactory.NAME_RE.fullmatch(_C.MODEL.TEXTUAL.NAME)
-    if not m:
-        print(f"feature_bitcheck: cannot parse textual head "
-              f"{_C.MODEL.TEXTUAL.NAME!r}")
-        return 2
     visual = TorchvisionVisualBackbone(
         arch, visual_feature_size=_C.MODEL.VISUAL.FEATURE_SIZE)
-    textual = TransformerDecoderTextualHead(
-        visual_feature_size=_C.MODEL.VISUAL.FEATURE_SIZE,
-        vocab_size=_C.DATA.VOCAB_SIZE,
-        hidden_size=int(m.group("H")),
-        num_layers=int(m.group("L")),
-        attention_heads=int(m.group("A")),
-        feedforward_size=int(m.group("F")),
-        dropout=0.0,
-        norm_first=(m.group("norm") == "pre"),
-        max_caption_length=_C.DATA.MAX_CAPTION_LENGTH,
-        padding_idx=_C.DATA.UNK_INDEX)
-    ref_cls = (RefBidirectional if _C.MODEL.NAME in ("virtex", "bicaptioning")
-               else RefForward)
-    ref = ref_cls(visual, textual, sos_index=_C.DATA.SOS_INDEX,
-                  eos_index=_C.DATA.EOS_INDEX)
+    if _C.MODEL.TEXTUAL.NAME == "none":
+        textual = RefLinearHead(
+            visual_feature_size=_C.MODEL.VISUAL.FEATURE_SIZE,
+            vocab_size=_C.DATA.VOCAB_SIZE)
+    else:
+        m = TextualHeadFactory.NAME_RE.fullmatch(_C.MODEL.TEXTUAL.NAME)
+        if not m:
+            print(f"feature_bitcheck: cannot parse textual head "
+                  f"{_C.MODEL.TEXTUAL.NAME!r}")
+            return 2
+        textual = TransformerDecoderTextualHead(
+            visual_feature_size=_C.MODEL.VISUAL.FEATURE_SIZE,
+            vocab_size=_C.DATA.VOCAB_SIZE,
+            hidden_size=int(m.group("H")),
+            num_layers=int(m.group("L")),
+            attention_heads=int(m.group("A")),
+            feedforward_size=int(m.group("F")),
+            dropout=0.0,
+            norm_first=(m.group("norm") == "pre"),
+            mask_future_positions=(task in CAPTIONING_MODELS),
+            max_caption_length=_C.DATA.MAX_CAPTION_LENGTH,
+            padding_idx=_C.DATA.UNK_INDEX)
+    if task in CAPTIONING_MODELS:
+        ref_cls = (RefBidirectional if task in ("virtex", "bicaptioning")
+                   else RefForward)
+        ref = ref_cls(visual, textual, sos_index=_C.DATA.SOS_INDEX,
+                      eos_index=_C.DATA.EOS_INDEX)
+    elif task == "masked_lm":
+        ref = RefMaskedLM(visual, textual)
+    elif task == "token_classification":
+        ref = RefTokenCls(visual, textual, ignore_indices=[
+            _C.DATA.UNK_INDEX, _C.DATA.SOS_INDEX, _C.DATA.EOS_INDEX,
+            _C.DATA.MASK_INDEX])
+    elif task == "multilabel_classification":
+        ref = RefMultiLabel(visual, textual, ignore_indices=[0])
+    else:
+        print(f"feature_bitcheck: unknown MODEL.NAME={task!r}")
+        return 2
 
     sd = load_torch_checkpoint(args.checkpoint_path)
     torch_sd = {k: torch.from_numpy(np.ascontiguousarray(v))
@@ -156,14 +183,40 @@ def main() -> int:
     images = (rng.rand(B, 3, S, S).astype(np.float32) - 0.5) / 0.25
     low = max(_C.DATA.SOS_INDEX, _C.DATA.EOS_INDEX, _C.DATA.UNK_INDEX,
               _C.DATA.MASK_INDEX) + 1
-    tokens = rng.randint(low, _C.DATA.VOCAB_SIZE, (B, T)).astype(np.int64)
-    tokens[:, 0] = _C.DATA.SOS_INDEX
-    lengths = np.full((B,), T, np.int64)
-    if T > 3:  # one padded row exercises the length mask
-        tokens[0, T - 2:], lengths[0] = 0, T - 2
-    noitpac = np.zeros_like(tokens)
-    for i in range(B):
-        noitpac[i, :lengths[i]] = tokens[i, :lengths[i]][::-1]
+    batch_np = {}
+    if task == "multilabel_classification":
+        # instance labels 1..VOCAB-1 (0 = ignored background), with a
+        # padded row and a duplicate (the reference uniques per row)
+        labels = rng.randint(1, _C.DATA.VOCAB_SIZE, (B, 5)).astype(np.int64)
+        labels[0, 3:] = 0
+        if B > 1:
+            labels[1, 2] = labels[1, 1]
+        batch_np["labels"] = labels
+    elif task == "token_classification":
+        labels = rng.randint(low, _C.DATA.VOCAB_SIZE, (B, 5)).astype(np.int64)
+        labels[0, 3:] = 0
+        batch_np["labels"] = labels
+    else:  # captioning family + masked_lm share the token layout
+        tokens = rng.randint(low, _C.DATA.VOCAB_SIZE, (B, T)).astype(np.int64)
+        tokens[:, 0] = _C.DATA.SOS_INDEX
+        lengths = np.full((B,), T, np.int64)
+        if T > 3:  # one padded row exercises the length mask
+            tokens[0, T - 2:], lengths[0] = 0, T - 2
+        if task == "masked_lm":
+            masked_labels = np.zeros_like(tokens)
+            for i in range(B):  # two masked positions per row
+                for p in {1 + rng.randint(lengths[i] - 1),
+                          1 + rng.randint(lengths[i] - 1)}:
+                    masked_labels[i, p] = tokens[i, p]
+                    tokens[i, p] = _C.DATA.MASK_INDEX
+            batch_np["masked_labels"] = masked_labels
+        else:
+            noitpac = np.zeros_like(tokens)
+            for i in range(B):
+                noitpac[i, :lengths[i]] = tokens[i, :lengths[i]][::-1]
+            batch_np["noitpac_tokens"] = noitpac
+        batch_np["caption_tokens"] = tokens
+        batch_np["caption_lengths"] = lengths
 
     failures: list = []
 
@@ -174,7 +227,9 @@ def main() -> int:
         ref_grid = ref.visual(torch.tensor(images)).numpy()
     our_grid = np.asarray(model.apply(
         variables, jnp.asarray(images.transpose(0, 2, 3, 1)),
-        method="encode_visual"))
+        # every pretext model composes .visual; captioning also exposes
+        # encode_visual, but this spelling covers MLM/classification too
+        method=lambda m, x: m.visual(x, train=False)))
     print(f"feature_bitcheck: visual grid shape {our_grid.shape} "
           f"(reference {tuple(ref_grid.shape)})")
     _check("layer4 grid (eval BN)", our_grid,
@@ -184,15 +239,11 @@ def main() -> int:
     ref.train()
     images_t = torch.tensor(images, requires_grad=True)
     ref_out = ref({"image": images_t,
-                   "caption_tokens": torch.tensor(tokens),
-                   "noitpac_tokens": torch.tensor(noitpac),
-                   "caption_lengths": torch.tensor(lengths)})
+                   **{k: torch.tensor(v) for k, v in batch_np.items()}})
     ref_out["loss"].backward()
     ref_grad = images_t.grad.detach().numpy()
 
-    jbatch = {"caption_tokens": jnp.asarray(tokens, jnp.int32),
-              "noitpac_tokens": jnp.asarray(noitpac, jnp.int32),
-              "caption_lengths": jnp.asarray(lengths, jnp.int32)}
+    jbatch = {k: jnp.asarray(v, jnp.int32) for k, v in batch_np.items()}
 
     def loss_fn(img):
         out = model.apply(variables, {**jbatch, "image": img}, train=True,

@@ -177,6 +177,59 @@ def test_bitcheck_passes_on_resnet50_flagship_backbone(tmp_path, monkeypatch,
     assert "feature_bitcheck: PASS" in out
 
 
+@pytest.mark.parametrize("task", ["masked_lm", "token_classification",
+                                  "multilabel_classification"])
+def test_bitcheck_covers_all_pretext_tasks(tmp_path, monkeypatch, capsys,
+                                           task):
+    """The gate accepts every zoo checkpoint family, not just captioning:
+    build the reference model for each remaining pretext task, save its
+    .pth, and require the full three-check PASS."""
+    from virtex.models.classification import (
+        MultiLabelClassificationModel as RefMultiLabel,
+        TokenClassificationModel as RefTokenCls,
+    )
+    from virtex.models.masked_lm import MaskedLMModel as RefMaskedLM
+    from virtex.modules.textual_heads import LinearTextualHead as RefLinear
+
+    torch.manual_seed(37)
+    visual = TorchvisionVisualBackbone("resnet18", visual_feature_size=512)
+    overrides = list(OVERRIDES)
+    if task == "masked_lm":
+        ref = RefMaskedLM(visual, TransformerDecoderTextualHead(
+            visual_feature_size=512, vocab_size=VOCAB, hidden_size=H,
+            num_layers=L, attention_heads=HEADS, feedforward_size=FF,
+            dropout=0.0, norm_first=False, mask_future_positions=False,
+            max_caption_length=MAXLEN, padding_idx=0))
+        config = os.path.join(REPO, "configs", "task_ablations",
+                              "masked_lm_R_50_L1_H2048.yaml")
+    else:
+        n_classes = VOCAB if task == "token_classification" else 81
+        ignore = [0, 1, 2, 3] if task == "token_classification" else [0]
+        ref_cls = (RefTokenCls if task == "token_classification"
+                   else RefMultiLabel)
+        ref = ref_cls(visual, RefLinear(visual_feature_size=512,
+                                        vocab_size=n_classes),
+                      ignore_indices=ignore)
+        config = os.path.join(
+            REPO, "configs", "task_ablations",
+            "token_classification_R_50.yaml"
+            if task == "token_classification"
+            else "multilabel_classification_R_50.yaml")
+        overrides[overrides.index("transdec_postnorm::"
+                                  f"L{L}_H{H}_A{HEADS}_F{FF}")] = "none"
+        overrides[overrides.index(str(VOCAB))] = str(n_classes)
+    pth = str(tmp_path / f"{task}.pth")
+    torch.save({"model": ref.state_dict()}, pth)
+    import feature_bitcheck
+    monkeypatch.setattr(sys, "argv", [
+        "feature_bitcheck.py", "--config", config,
+        "--checkpoint-path", pth, "--config-override", *overrides])
+    assert feature_bitcheck.main() == 0
+    out = capsys.readouterr().out
+    assert "feature_bitcheck: PASS" in out
+    assert "[PASS] layer4 grid" in out and "[PASS] d(loss)/d(image)" in out
+
+
 def test_bitcheck_fails_on_wrong_shaped_checkpoint(tmp_path, monkeypatch,
                                                    capsys):
     """A checkpoint whose weights don't even fit the config (e.g. wrong
