@@ -50,15 +50,19 @@ def main(_A) -> None:
     out = _A.output_prefix + ".model"
     train_tokenizer(captions, out, vocab_size=_A.vocab_size)
     # SP-proto export is best-effort: it needs transformers (for the proto
-    # schema), which is not a declared dependency of this package.
+    # schema), which is not a declared dependency of this package. Broad
+    # except: the transformers/protobuf import chain can also fail with
+    # TypeError ("Descriptors cannot be created...") or RuntimeError on a
+    # broken torch — the trained JSON vocabulary must never be held
+    # hostage by the optional export.
     sp_note = ""
     try:
         sp_out = _A.output_prefix + ".sp.model"
         export_sentencepiece_model(out, sp_out)
         sp_note = f" (+ SP-proto export {sp_out})"
-    except ImportError as e:
-        print(f"SP-proto export skipped (needs the transformers package "
-              f"for the proto schema): {e}")
+    except Exception as e:
+        print(f"SP-proto export skipped (needs a working transformers/"
+              f"protobuf install for the proto schema): {e!r}")
     print(f"Trained {_A.vocab_size}-token vocabulary on {len(captions)} "
           f"captions → {out}{sp_note}")
     print("NOTE: HF-BPE trainer, not SentencePiece — this vocabulary will "

@@ -204,9 +204,10 @@ def main() -> int:
             tokens[0, T - 2:], lengths[0] = 0, T - 2
         if task == "masked_lm":
             masked_labels = np.zeros_like(tokens)
-            for i in range(B):  # two masked positions per row
-                for p in {1 + rng.randint(lengths[i] - 1),
-                          1 + rng.randint(lengths[i] - 1)}:
+            for i in range(B):  # two DISTINCT masked positions per row
+                n_mask = min(2, lengths[i] - 1)
+                for p in rng.choice(np.arange(1, lengths[i]), size=n_mask,
+                                    replace=False):
                     masked_labels[i, p] = tokens[i, p]
                     tokens[i, p] = _C.DATA.MASK_INDEX
             batch_np["masked_labels"] = masked_labels

@@ -274,7 +274,14 @@ def export_sentencepiece_model(model_path: str, output_path: str) -> None:
     # remove_extra_whitespaces=True) that our native path does not perform —
     # whitespace runs would collapse and encodes diverge on any spm host
     # (round-5 review finding #2). identity + keep-whitespace +
-    # dummy-prefix/escape matches the HF Metaspace pre-tokenizer exactly.
+    # dummy-prefix/escape matches the HF Metaspace pre-tokenizer on any
+    # text that does not START with whitespace. Known residual asymmetry:
+    # spm's add_dummy_prefix prepends unconditionally while HF Metaspace
+    # skips the prepend when the text already begins with the replacement
+    # char, so "  a man" gains an extra lone-▁ piece under real spm.
+    # Caption pipelines in this repo never feed leading whitespace
+    # (preprocess + dataset readers), and the in-repo round-trip cannot
+    # observe it (the importer reuses Metaspace) — documented, not hidden.
     proto.normalizer_spec.name = "identity"
     proto.normalizer_spec.precompiled_charsmap = b""
     proto.normalizer_spec.add_dummy_prefix = True
