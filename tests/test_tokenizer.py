@@ -102,6 +102,44 @@ def test_sentencepiece_export_roundtrip(tmp_path):
         assert tok2.token_to_id(name) == idx
 
 
+def test_sentencepiece_export_roundtrip_fuzz(tmp_path):
+    """Fuzz the export→reimport law over multiple corpora/vocab sizes and
+    300 random word-salad strings each — the exporter produces realistic
+    score-ranked protos, so this doubles as an adversarial gate on the
+    importer's merge reconstruction."""
+    import itertools
+    import random
+
+    corpora = {
+        "coco-ish": CORPUS,
+        "shakespeare-ish": [
+            "shall i compare thee to a summer day",
+            "thou art more lovely and more temperate",
+            "rough winds do shake the darling buds of may",
+            "and summer lease hath all too short a date",
+        ] * 40,
+    }
+    rng = random.Random(7)
+    for (name, corpus), vocab_size in itertools.product(
+            corpora.items(), (120, 500)):
+        base = str(tmp_path / f"{name}_{vocab_size}")
+        tok = train_tokenizer(corpus, base + ".model",
+                              vocab_size=vocab_size)
+        export_sentencepiece_model(base + ".model", base + ".sp.model")
+        tok2 = SentencePieceBPETokenizer(base + ".sp.model")
+        words = sorted({w for line in corpus for w in line.split()})
+        for _ in range(300):
+            k = rng.randint(1, 8)
+            salad = " ".join(rng.choice(words) for _ in range(k))
+            if rng.random() < 0.3:   # splice word fragments (unseen merges)
+                w = rng.choice(words)
+                salad += " " + w[: max(1, len(w) // 2)]
+            if rng.random() < 0.1:   # OOV run
+                salad += " 474"
+            got, want = tok2.encode(salad), tok.encode(salad)
+            assert got == want, (name, vocab_size, salad, got, want)
+
+
 def test_oov_runs_fuse_to_single_unk(tmp_path):
     """SentencePiece semantics (and the SP importer's fuse_unk): a RUN of
     unknown characters yields ONE <unk>, not one per character — pinned so

@@ -103,8 +103,25 @@ def _load_tokenizer_file(model_path: str) -> Tokenizer:
     return _tokenizer_from_sentencepiece(model_path)
 
 
+def _sp_proto_schema():
+    """The SentencePiece ModelProto schema (shipped by transformers). Both
+    proto directions (importing the reference's ``coco_10k.model``,
+    exporting our vocab) need it; native HF-JSON vocabularies do not."""
+    try:
+        from transformers.utils import (  # noqa: PLC0415
+            sentencepiece_model_pb2_new as spb,
+        )
+    except ImportError as e:
+        raise ImportError(
+            "binary SentencePiece .model support needs the proto schema "
+            "from the transformers package — pip install "
+            "'virtex-tpu[sp-protos]' (native HF-JSON vocabularies load "
+            "with the base install)") from e
+    return spb
+
+
 def _tokenizer_from_sentencepiece(model_path: str) -> Tokenizer:
-    from transformers.utils import sentencepiece_model_pb2_new as spb
+    spb = _sp_proto_schema()
 
     proto = spb.ModelProto()
     with open(model_path, "rb") as f:
@@ -226,7 +243,7 @@ def export_sentencepiece_model(model_path: str, output_path: str) -> None:
     """
     import json as _json
 
-    from transformers.utils import sentencepiece_model_pb2_new as spb
+    spb = _sp_proto_schema()
 
     with open(model_path) as f:
         blob = _json.load(f)
