@@ -140,6 +140,22 @@ def test_sentencepiece_export_roundtrip_fuzz(tmp_path):
             assert got == want, (name, vocab_size, salad, got, want)
 
 
+def test_sentencepiece_export_rejects_sparse_vocab(tmp_path):
+    """SP protos identify pieces by position: a vocab with id gaps (e.g.
+    hand-pruned, or specials living only in added_tokens) must raise a
+    clear ValueError, not IndexError/protobuf TypeError downstream."""
+    import json
+
+    import pytest
+    path = str(tmp_path / "sparse.model")
+    with open(path, "w") as f:
+        json.dump({"model": {"type": "BPE",
+                             "vocab": {"<unk>": 0, "a": 2, "b": 3},
+                             "merges": []}}, f)
+    with pytest.raises(ValueError, match="not contiguous"):
+        export_sentencepiece_model(path, str(tmp_path / "out.sp.model"))
+
+
 def test_oov_runs_fuse_to_single_unk(tmp_path):
     """SentencePiece semantics (and the SP importer's fuse_unk): a RUN of
     unknown characters yields ONE <unk>, not one per character — pinned so

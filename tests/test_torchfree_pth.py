@@ -278,6 +278,59 @@ def test_valid_zip_truncated_storage_never_reaches_torch(tmp_path,
     assert not called, "torch.load reached for a valid-zip file"
 
 
+def test_plain_pickled_tensor_refused_not_fallen_through(tmp_path,
+                                                         monkeypatch):
+    """Whole-package review repro (legacy-path RCE): a plain pickle whose
+    FIRST value is a bare torch tensor (storage via _load_from_bytes →
+    _OpaqueObject in our reader) and whose later payload is malicious. The
+    malformed tensor rebuild must raise RefusedPickleError — a TypeError
+    would classify the file as format-unknown and hand it to torch's
+    unpickler, which executes the payload while parsing the first pickle."""
+    import pickle
+
+    class Evil:
+        def __reduce__(self):
+            marker = str(tmp_path / "pwned_marker")
+            return (__import__("os").system, (f"touch {marker}",))
+
+    path = str(tmp_path / "plain.pth")
+    with open(path, "wb") as f:
+        pickle.dump({"w": torch.zeros(2), "x": Evil()}, f, protocol=4)
+
+    called = {}
+
+    def fake_load(*a, **k):
+        called["reached"] = True
+        return {"model": {}}
+
+    monkeypatch.setattr(torch, "load", fake_load)
+    with pytest.raises(pickle.UnpicklingError,
+                       match="non-persistent storage"):
+        load_torch_checkpoint(path)
+    assert not called, "torch.load reached for a refusable plain pickle"
+    assert not (tmp_path / "pwned_marker").exists()
+
+
+def test_torch_fallback_is_weights_only(tmp_path, monkeypatch):
+    """Defense in depth: even when a genuinely format-unknown file DOES
+    reach the torch fallback, it must be loaded with weights_only=True —
+    the fallback can never be an arbitrary-code path, whatever the
+    error-type routing above it concluded."""
+    path = str(tmp_path / "ancient3.pth")
+    with open(path, "wb") as f:
+        f.write(b"ustar\x00 not a pickle at all \xff\xfe")
+    seen = {}
+
+    def fake_load(p, map_location=None, weights_only=None):
+        seen["weights_only"] = weights_only
+        return {"model": {"w": np.zeros(2, np.float32)}}
+
+    monkeypatch.setattr(torch, "load", fake_load)
+    out = load_torch_checkpoint(path)
+    assert seen["weights_only"] is True
+    np.testing.assert_array_equal(out["w"], np.zeros(2, np.float32))
+
+
 def test_refuses_arbitrary_globals(tmp_path):
     """The reader must not execute arbitrary pickle globals (it's fed
     downloaded files): a pickle referencing os.system raises."""

@@ -117,6 +117,15 @@ def _sp_proto_schema():
             "from the transformers package — pip install "
             "'virtex-tpu[sp-protos]' (native HF-JSON vocabularies load "
             "with the base install)") from e
+    except Exception as e:
+        # The transformers/protobuf chain can also die with TypeError
+        # ("Descriptors cannot be created...") or RuntimeError on a broken
+        # install — keep the guidance actionable either way.
+        raise ImportError(
+            f"binary SentencePiece .model support needs a WORKING "
+            f"transformers/protobuf install (the proto schema import "
+            f"failed with {e!r}) — reinstall via pip install "
+            f"'virtex-tpu[sp-protos]'") from e
     return spb
 
 
@@ -253,6 +262,18 @@ def export_sentencepiece_model(model_path: str, output_path: str) -> None:
     vocab: Dict[str, int] = model["vocab"]
     merges = [tuple(m.split(" ", 1)) if isinstance(m, str) else tuple(m)
               for m in model["merges"]]
+    # SP protos identify pieces by POSITION: the ids must be exactly
+    # 0..len-1 (train_tokenizer guarantees this; a hand-pruned vocab or
+    # one whose specials live only in added_tokens does not) — validate
+    # instead of crashing with IndexError / protobuf TypeError downstream.
+    ids = sorted(vocab.values())
+    if ids != list(range(len(vocab))):
+        gaps = sorted(set(range(len(vocab))) - set(ids))[:5]
+        raise ValueError(
+            f"{model_path}: vocab ids are not contiguous 0..{len(vocab)-1} "
+            f"(first missing: {gaps}; max id {ids[-1] if ids else 'n/a'}) — "
+            f"SP protos identify pieces by position, so this vocabulary "
+            f"cannot be exported as-is")
     id_to_piece = [None] * len(vocab)
     for piece, i in vocab.items():
         id_to_piece[i] = piece

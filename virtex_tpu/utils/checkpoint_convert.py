@@ -344,7 +344,13 @@ class NotZipFormatError(ValueError):
 def _read_pth_without_torch(path: str):
     """Parse a torch>=1.6 zip-format ``.pth`` with zipfile+pickle+numpy
     only. Tensors come back as numpy arrays (bfloat16 upcast to float32,
-    exact — bf16 is the upper half of fp32)."""
+    exact — bf16 is the upper half of fp32).
+
+    Known limitation: a BARE storage in the graph (``torch.save`` of a
+    ``TypedStorage`` value that no tensor rebuild consumes) comes back as
+    a ``_StorageRef`` whose deferred ``load()`` fails once the archive is
+    closed on return; ``load_torch_checkpoint`` drops such entries (no
+    ``detach``). No reference or torchvision checkpoint contains one."""
     import zipfile
 
     try:
@@ -381,6 +387,14 @@ def _read_pth_without_torch(path: str):
 
         class _Unpickler(_RestrictedUnpickler):
             def _rebuild_tensor(self, storage, offset, size, stride):
+                if not isinstance(storage, _StorageRef):
+                    # plain-pickled tensor (storage via _load_from_bytes →
+                    # _OpaqueObject): refuse explicitly — same class as the
+                    # legacy-path guard (zip failures propagate either way,
+                    # but a refusal beats an AttributeError).
+                    raise RefusedPickleError(
+                        f"tensor rebuilt from a non-persistent storage in "
+                        f"{path} (plain-pickled tensor?) — refusing")
                 return _strided_view(storage.load(), offset, size, stride,
                                      path)
 
@@ -440,6 +454,19 @@ def _read_legacy_pth_without_torch(path: str):
 
     class _Unpickler(_RestrictedUnpickler):
         def _rebuild_tensor(self, storage_ref, offset, size, stride):
+            # A PLAIN-pickled tensor (torch.save's _legacy_save uses
+            # persistent ids; pickle.dump(tensor) instead routes storage
+            # through torch.storage._load_from_bytes, which our find_class
+            # stubs to _OpaqueObject) must be REFUSED here: letting the
+            # malformed unpack raise TypeError would classify the file as
+            # format-unknown and divert it to the torch fallback before
+            # the restricted reader ever reaches a refusable payload —
+            # the legacy-path twin of the zip two-root bypass (round-5
+            # whole-package review, live-reproduced).
+            if not (isinstance(storage_ref, tuple) and len(storage_ref) == 3):
+                raise RefusedPickleError(
+                    f"tensor rebuilt from a non-persistent storage in "
+                    f"{path} (plain-pickled tensor?) — refusing")
             root_key, dtype, is_bf16 = storage_ref
             return _LazyTensor(root_key, dtype, is_bf16, offset, size, stride)
 
@@ -479,14 +506,17 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     torchvision ImageNet weights) are both parsed with
     zipfile/pickle+numpy, so a TPU-native deployment needs no torch.
     ``torch.load`` remains the last-resort fallback for FORMAT-unknown
-    files only (ancient tar-format etc., when torch is importable). A
-    :class:`RefusedPickleError` — a restricted reader REFUSING a graph
-    — always propagates: routing refused pickles into
-    ``torch.load(weights_only=False)`` would execute exactly the globals
-    the refusal blocked. A PLAIN ``pickle.UnpicklingError`` from the
-    legacy reader means the bytes are not a pickle stream at all
-    ("invalid load key ..." on e.g. an ancient tar-format file), so it
-    takes the format-unknown fallback like any other parse failure.
+    files only (ancient tar-format etc., when torch is importable) — and
+    runs with ``weights_only=True`` as defense in depth: error-type
+    routing decides WHICH reader handles a file, and two review-found
+    bypasses of that routing (zip two-root decoy, plain-pickled tensor in
+    the legacy path) showed the fallback must be unable to execute code
+    even when the classification is wrong. A :class:`RefusedPickleError`
+    — a restricted reader REFUSING a graph — always propagates. A PLAIN
+    ``pickle.UnpicklingError`` from the legacy reader means the bytes are
+    not a pickle stream at all ("invalid load key ..." on e.g. an ancient
+    tar-format file), so it takes the format-unknown fallback like any
+    other parse failure.
     Known-benign extras real checkpoints carry (the
     ``argparse.Namespace`` a torchvision training script saves beside its
     ``state_dict``, reference ``clf_linear.py:137-141``) are instead
@@ -513,7 +543,17 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
                     f"{path}: unrecognized checkpoint format (not torch-zip "
                     f"or legacy pickle) and torch is not installed for the "
                     f"fallback") from legacy_err
-            ckpt = torch.load(path, map_location="cpu", weights_only=False)
+            try:
+                ckpt = torch.load(path, map_location="cpu",
+                                  weights_only=True)
+            except Exception as torch_err:
+                raise ValueError(
+                    f"{path}: unrecognized checkpoint format and torch's "
+                    f"weights-only loader also rejected it ({torch_err!r})."
+                    f" If you trust this file, load and re-save it with "
+                    f"torch yourself; this loader will not run "
+                    f"weights_only=False on downloaded checkpoints."
+                ) from torch_err
     # reference checkpoints nest under "model"; torchvision training-script
     # checkpoints under "state_dict" (reference clf_linear.py:137-141)
     sd = ckpt
