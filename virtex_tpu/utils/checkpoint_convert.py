@@ -546,6 +546,19 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
             try:
                 ckpt = torch.load(path, map_location="cpu",
                                   weights_only=True)
+            except TypeError as torch_err:
+                # torch < 1.13 has no weights_only kwarg — report the
+                # version incompatibility, not a bogus "loader rejected
+                # your file". Still fails closed (no weights_only=False).
+                if "weights_only" not in str(torch_err):
+                    raise
+                raise ValueError(
+                    f"{path}: unrecognized checkpoint format, and this "
+                    f"torch ({getattr(torch, '__version__', '?')}) lacks "
+                    f"torch.load(weights_only=...) (needs >= 1.13) for "
+                    f"the safe fallback. Upgrade torch, or if you trust "
+                    f"this file, load and re-save it with torch yourself."
+                ) from torch_err
             except Exception as torch_err:
                 raise ValueError(
                     f"{path}: unrecognized checkpoint format and torch's "
