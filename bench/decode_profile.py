@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--calls", type=_at_least_two, default=8)
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--decoder", choices=("beam", "nucleus"), default="beam")
+    ap.add_argument("--unroll", type=int, default=None,
+                    help="decode-loop sub-steps per while iteration "
+                         "(default: the decoder class default); outputs "
+                         "are bitwise identical at any value")
     ap.add_argument("--params", choices=("bf16", "fp32"), default="bf16",
                     help="bf16 (default) pre-casts the textual matmul "
                          "params once per call (cast_decode_params, "
@@ -67,6 +71,8 @@ def main():
     import copy
     decoder = copy.copy(decoder)
     decoder.eos_index = 10 ** 6
+    if args.unroll is not None:
+        decoder.unroll = args.unroll
 
     B = args.batch_size
     T = _C.DATA.MAX_CAPTION_LENGTH

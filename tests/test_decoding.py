@@ -240,6 +240,108 @@ def test_beam_search_unaffected_by_topk_threshold(monkeypatch):
     np.testing.assert_array_equal(np.asarray(fast_s), np.asarray(slow_s))
 
 
+@pytest.mark.parametrize("max_steps", [6, 7])
+def test_beam_search_unroll_bitwise(max_steps):
+    """`unroll` is a pure scheduling knob: sequences AND scores must be
+    bitwise identical at every factor, including factors that don't divide
+    the step count (tail guard), factors larger than the whole loop, and
+    per-beam state reordering inside an unrolled iteration."""
+    rng = np.random.RandomState(3)
+    logits = rng.randn(V, V).astype(np.float32)
+    logits[:, EOS] -= 6.0  # EOS reachable but not immediate
+    table = np.log(np.exp(logits) / np.exp(logits).sum(-1, keepdims=True))
+
+    def run(unroll):
+        bs = AutoRegressiveBeamSearch(eos_index=EOS, max_steps=max_steps,
+                                      beam_size=3, per_node_beam_size=2,
+                                      unroll=unroll)
+        start = jnp.asarray([1, 3, 0], jnp.int32)
+        # state reorder must survive unrolling: carry a per-beam token so a
+        # wrong gather inside a sub-step changes the emitted sequence.
+        def step(last, position, state):
+            lp = jnp.asarray(table)[last]
+            bonus = 0.1 * (state["prev"] == last).astype(jnp.float32)
+            return lp + bonus[:, None], {"prev": last}
+        state = {"prev": jnp.zeros((9,), jnp.int32)}
+        return bs.search(start, step, state, only_return_best=False)
+
+    ref_p, ref_s = run(1)
+    for unroll in (2, 3, max_steps, max_steps + 2):
+        got_p, got_s = run(unroll)
+        np.testing.assert_array_equal(np.asarray(ref_p), np.asarray(got_p))
+        np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(got_s))
+
+
+def test_beam_search_unroll_early_eos_bitwise():
+    """All beams latch EOS mid-iteration: the masked sub-step must be an
+    identity on (last, scores, preds) — unroll=1's early loop exit and
+    unroll=4's extra sub-steps land on identical outputs."""
+    table = np.full((V, V), -10.0, np.float32)
+    table[:, EOS] = 0.0
+
+    def run(unroll):
+        bs = AutoRegressiveBeamSearch(eos_index=EOS, max_steps=6,
+                                      beam_size=3, unroll=unroll)
+        return bs.search(jnp.asarray([0, 1]), markov_step_fn(table),
+                         state={}, only_return_best=False)
+
+    ref_p, ref_s = run(1)
+    for unroll in (2, 4):
+        got_p, got_s = run(unroll)
+        np.testing.assert_array_equal(np.asarray(ref_p), np.asarray(got_p))
+        np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(got_s))
+
+
+@pytest.mark.parametrize("max_steps", [5, 6])
+def test_nucleus_unroll_bitwise(max_steps):
+    """Nucleus sampling with `unroll` must reproduce unroll=1 bitwise for
+    the same PRNGKey: the rng split schedule is per-sub-step, and masked
+    tail sub-steps must not disturb emitted predictions."""
+    rng = np.random.RandomState(5)
+    logits = rng.randn(V, V).astype(np.float32)
+
+    def step(last, position, state):
+        return jnp.asarray(logits)[last], state
+
+    def run(unroll):
+        ns = AutoRegressiveNucleusSampling(eos_index=EOS,
+                                           max_steps=max_steps,
+                                           nucleus_size=0.9, unroll=unroll)
+        preds, _ = ns.search(jnp.asarray([1, 3]), step, {},
+                             jax.random.PRNGKey(11))
+        return np.asarray(preds)
+
+    ref = run(1)
+    for unroll in (2, 3, max_steps + 1):
+        np.testing.assert_array_equal(ref, run(unroll))
+
+
+def test_nucleus_unroll_early_eos_bitwise():
+    logits = np.full((1, V), -10.0, np.float32)
+    logits[0, EOS] = 10.0
+
+    def step(last, position, state):
+        return jnp.asarray(np.tile(logits, (last.shape[0], 1))), state
+
+    def run(unroll):
+        ns = AutoRegressiveNucleusSampling(eos_index=EOS, max_steps=6,
+                                           unroll=unroll)
+        preds, _ = ns.search(jnp.asarray([1]), step, {},
+                             jax.random.PRNGKey(2))
+        return np.asarray(preds)
+
+    ref = run(1)
+    for unroll in (2, 4):
+        np.testing.assert_array_equal(ref, run(unroll))
+
+
+def test_unroll_validation():
+    with pytest.raises(ValueError):
+        AutoRegressiveBeamSearch(eos_index=EOS, unroll=0)
+    with pytest.raises(ValueError):
+        AutoRegressiveNucleusSampling(eos_index=EOS, unroll=0)
+
+
 def _sorted_rule_drop(logits, p):
     """The reference top-p rule, straight transcription: sort desc (stable,
     index tie-break), cumulative softmax, drop where (cum - probs) > p,

@@ -81,11 +81,15 @@ class AutoRegressiveBeamSearch:
     """
 
     def __init__(self, eos_index: int, max_steps: int = 30,
-                 beam_size: int = 5, per_node_beam_size: int = 2):
+                 beam_size: int = 5, per_node_beam_size: int = 2,
+                 unroll: int = 1):
         self.eos_index = eos_index
         self.max_steps = max_steps
         self.beam_size = beam_size
         self.per_node_beam_size = per_node_beam_size or beam_size
+        if unroll < 1:
+            raise ValueError(f"unroll must be >= 1, got {unroll}")
+        self.unroll = unroll
 
     def search(self, start_tokens: jnp.ndarray, step_fn: StepFn,
                state: Any, only_return_best: bool = True):
@@ -130,7 +134,7 @@ class AutoRegressiveBeamSearch:
         # state needs no reorder: every beam's step-0 cache entry is the
         # same start-token update.
 
-        def body(carry):
+        def substep(carry, masked: bool):
             t, last, scores, preds, state = carry
             last_flat = last.reshape(B * K)
             logprobs, state = step_fn(last_flat, t, state)
@@ -165,8 +169,9 @@ class AutoRegressiveBeamSearch:
                 node_ix.reshape(B, K * P), flat_ix, axis=1)     # (B, K)
 
             # Reorder beam-history + per-beam decode state to winners.
-            preds = jnp.take_along_axis(preds, src_beam[..., None], axis=1)
-            preds = preds.at[:, :, t].set(new_tokens)
+            new_preds = jnp.take_along_axis(preds, src_beam[..., None],
+                                            axis=1)
+            new_preds = new_preds.at[:, :, t].set(new_tokens)
 
             # NOTE on the reorder form: a flat row-gather
             # (jnp.take(x, b*K + src_beam, axis=0)) looks cheaper but
@@ -181,7 +186,33 @@ class AutoRegressiveBeamSearch:
                 return jnp.take_along_axis(xb, ix, axis=1).reshape(x.shape)
 
             state = jax.tree.map(reorder, state)
-            return t + 1, new_tokens, new_scores, preds, state
+            if masked:
+                # Tail guard for unrolled sub-steps: past max_steps the
+                # (small) output carries pass through untouched — the
+                # `.at[:, :, t]` write above would otherwise CLAMP onto
+                # slot max_steps−1 and the reorder would permute history
+                # by a step that was never recorded. `state` is left
+                # unguarded: once any sub-step is invalid every later one
+                # is too (t only grows), so a clamped cache write is
+                # never read by a valid step. The all-EOS-mid-iteration
+                # case needs no guard at all — EOS-absorbing rows +
+                # top_k's stable index tie-order make the sub-step a
+                # bitwise identity on (last, scores, preds).
+                valid = t < self.max_steps
+                new_tokens = jnp.where(valid, new_tokens, last)
+                new_scores = jnp.where(valid, new_scores, scores)
+                new_preds = jnp.where(valid, new_preds, preds)
+            return t + 1, new_tokens, new_scores, new_preds, state
+
+        def body(carry):
+            # `unroll` sub-steps per while iteration: fewer loop-carry
+            # round-trips / condition evaluations and a wider scheduling
+            # window for XLA across the step boundary. Sub-step 0 needs
+            # no tail guard (cond guarantees t < max_steps on entry).
+            carry = substep(carry, masked=False)
+            for _ in range(self.unroll - 1):
+                carry = substep(carry, masked=True)
+            return carry
 
         def cond(carry):
             t, last, scores, preds, state = carry

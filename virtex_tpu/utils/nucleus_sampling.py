@@ -80,10 +80,13 @@ def _topp_drop(logits: jnp.ndarray, p: float) -> jnp.ndarray:
 
 class AutoRegressiveNucleusSampling:
     def __init__(self, eos_index: int, max_steps: int = 30,
-                 nucleus_size: float = 0.9):
+                 nucleus_size: float = 0.9, unroll: int = 1):
         self.eos_index = eos_index
         self.max_steps = max_steps
         self.nucleus_size = nucleus_size
+        if unroll < 1:
+            raise ValueError(f"unroll must be >= 1, got {unroll}")
+        self.unroll = unroll
 
     def search(self, start_tokens: jnp.ndarray, step_fn: StepFn, state: Any,
                rng: jax.Array):
@@ -92,7 +95,7 @@ class AutoRegressiveNucleusSampling:
         eos = self.eos_index
         preds = jnp.full((B, self.max_steps), eos, jnp.int32)
 
-        def body(carry):
+        def substep(carry, masked: bool):
             t, last, preds, state, rng = carry
             logits, state = step_fn(last, t, state)
             logits = logits.astype(jnp.float32)
@@ -119,8 +122,28 @@ class AutoRegressiveNucleusSampling:
             # EOS latch (nucleus_sampling.py:108-113).
             finished = (last == eos) & (t > 0)
             sampled = jnp.where(finished, eos, sampled)
-            preds = preds.at[:, t].set(sampled)
-            return t + 1, sampled, preds, state, rng
+            new_preds = preds.at[:, t].set(sampled)
+            if masked:
+                # Tail guard for unrolled sub-steps past max_steps (the
+                # `.at[:, t]` write would clamp onto the last slot): the
+                # output carries pass through; `state`/`rng` stay
+                # unguarded — every later sub-step is invalid too, and
+                # the extra rng split feeds nothing (see beam_search for
+                # the same pattern). All-EOS mid-iteration needs no
+                # guard: the latch rewrites `sampled` to EOS bitwise.
+                valid = t < self.max_steps
+                sampled = jnp.where(valid, sampled, last)
+                new_preds = jnp.where(valid, new_preds, preds)
+            return t + 1, sampled, new_preds, state, rng
+
+        def body(carry):
+            # `unroll` sub-steps per while iteration — fewer loop-carry
+            # round-trips and a wider XLA scheduling window; sub-step 0
+            # needs no guard (cond guarantees t < max_steps on entry).
+            carry = substep(carry, masked=False)
+            for _ in range(self.unroll - 1):
+                carry = substep(carry, masked=True)
+            return carry
 
         def cond(carry):
             t, last, preds, state, rng = carry
