@@ -37,7 +37,14 @@ def main():
     ap.add_argument("--calls", type=_at_least_two, default=8)
     ap.add_argument("--top", type=int, default=20)
     ap.add_argument("--decoder", choices=("beam", "nucleus"), default="beam")
-    ap.add_argument("--unroll", type=int, default=None,
+    def _at_least_one(v):
+        n = int(v)
+        if n < 1:  # mirror the decoder constructors' validation — the
+            # attribute is assigned post-construction below
+            raise argparse.ArgumentTypeError("--unroll must be >= 1")
+        return n
+
+    ap.add_argument("--unroll", type=_at_least_one, default=None,
                     help="decode-loop sub-steps per while iteration "
                          "(default: the decoder class default); outputs "
                          "are bitwise identical at any value")

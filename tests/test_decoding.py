@@ -335,6 +335,32 @@ def test_nucleus_unroll_early_eos_bitwise():
         np.testing.assert_array_equal(ref, run(unroll))
 
 
+def test_beam_search_unroll_degenerate_k_gt_v_bitwise():
+    """K > V pads beams at exact NEG_INF, where the all-EOS identity of
+    masked sub-steps rests on a subtle tie-order chain (a pad's EOS
+    extension ties bitwise against finished beams' junk candidates at
+    NEG_INF; stable top_k resolves by flat index). The guard now mirrors
+    the loop cond, making unroll-invariance structural — this pins the
+    analyzed corner so a future tie-break or padding change that voids
+    the chain is caught."""
+    table = np.full((V, V), -8.0, np.float32)
+    table[:, EOS] = 0.0  # every beam latches EOS immediately
+
+    def run(unroll):
+        bs = AutoRegressiveBeamSearch(eos_index=EOS, max_steps=6,
+                                      beam_size=V + 2, per_node_beam_size=2,
+                                      unroll=unroll)
+        return bs.search(jnp.asarray([0, 1]), markov_step_fn(table),
+                         state={}, only_return_best=False)
+
+    ref_p, ref_s = run(1)
+    assert np.all(np.asarray(ref_p)[:, 0, 1:] == EOS)  # the latch held
+    for unroll in (2, 4):
+        got_p, got_s = run(unroll)
+        np.testing.assert_array_equal(np.asarray(ref_p), np.asarray(got_p))
+        np.testing.assert_array_equal(np.asarray(ref_s), np.asarray(got_s))
+
+
 def test_unroll_validation():
     with pytest.raises(ValueError):
         AutoRegressiveBeamSearch(eos_index=EOS, unroll=0)

@@ -187,18 +187,27 @@ class AutoRegressiveBeamSearch:
 
             state = jax.tree.map(reorder, state)
             if masked:
-                # Tail guard for unrolled sub-steps: past max_steps the
-                # (small) output carries pass through untouched — the
-                # `.at[:, :, t]` write above would otherwise CLAMP onto
-                # slot max_steps−1 and the reorder would permute history
-                # by a step that was never recorded. `state` is left
-                # unguarded: once any sub-step is invalid every later one
-                # is too (t only grows), so a clamped cache write is
-                # never read by a valid step. The all-EOS-mid-iteration
-                # case needs no guard at all — EOS-absorbing rows +
-                # top_k's stable index tie-order make the sub-step a
-                # bitwise identity on (last, scores, preds).
-                valid = t < self.max_steps
+                # Guard for unrolled sub-steps: `valid` is EXACTLY the
+                # loop cond evaluated on this sub-step's ENTRY carry
+                # (`t`/`last` are the unpacked carry, untouched above), so
+                # a masked sub-step mutates the output carries iff the
+                # rolled loop would have run it — "unrolled ≡ rolled"
+                # holds by construction. This covers both the tail past
+                # max_steps (the `.at[:, :, t]` write above clamps onto
+                # slot max_steps−1 and the reorder would permute
+                # unrecorded history) and all-EOS mid-iteration. The
+                # all-EOS case IS a natural bitwise identity, but only
+                # through a subtle chain — EOS absorption at +0.0,
+                # descending-score loop invariant, stable top_k tie
+                # order, and (under K > V padding) all-EOS being
+                # unreachable at all because a NEG_INF junk candidate
+                # always out-ties the pads' EOS extensions — so the
+                # guard pins it structurally instead. `state` is left
+                # unguarded: t only grows and all-EOS never un-happens
+                # under the guard, so once a sub-step is invalid every
+                # later one is too, and a clamped cache write is never
+                # read by a valid step.
+                valid = (t < self.max_steps) & ~jnp.all(last == eos)
                 new_tokens = jnp.where(valid, new_tokens, last)
                 new_scores = jnp.where(valid, new_scores, scores)
                 new_preds = jnp.where(valid, new_preds, preds)

@@ -124,14 +124,19 @@ class AutoRegressiveNucleusSampling:
             sampled = jnp.where(finished, eos, sampled)
             new_preds = preds.at[:, t].set(sampled)
             if masked:
-                # Tail guard for unrolled sub-steps past max_steps (the
-                # `.at[:, t]` write would clamp onto the last slot): the
-                # output carries pass through; `state`/`rng` stay
-                # unguarded — every later sub-step is invalid too, and
-                # the extra rng split feeds nothing (see beam_search for
-                # the same pattern). All-EOS mid-iteration needs no
-                # guard: the latch rewrites `sampled` to EOS bitwise.
-                valid = t < self.max_steps
+                # Guard for unrolled sub-steps: `valid` is EXACTLY the
+                # loop cond on this sub-step's ENTRY carry, so a masked
+                # sub-step mutates the output carries iff the rolled loop
+                # would have run it ("unrolled ≡ rolled" by construction;
+                # see beam_search for the full rationale). Strictly the
+                # tail clamp of `.at[:, t]` is the only live hazard here —
+                # the EOS latch already rewrites `sampled` bitwise when
+                # all rows finished — but mirroring cond keeps the
+                # invariant immune to future latch edits. `state`/`rng`
+                # stay unguarded: every later sub-step is invalid too,
+                # and the extra rng split feeds only latched samples.
+                valid = ((t < self.max_steps)
+                         & ~jnp.all((last == eos) & (t > 0)))
                 sampled = jnp.where(valid, sampled, last)
                 new_preds = jnp.where(valid, new_preds, preds)
             return t + 1, sampled, new_preds, state, rng
