@@ -320,21 +320,43 @@ def _make_tokencls_batches(n):
     return batches
 
 
-@pytest.mark.parametrize("task", ["masked_lm", "token_classification"])
+ML_CLASSES = 81  # 80 COCO things + background slot 0 (= the ignore index)
+
+
+def _make_multilabel_batches(n):
+    rng = np.random.RandomState(23)
+    batches = []
+    for _ in range(n):
+        images = (rng.rand(B, 3, IMG, IMG).astype(np.float32) - 0.5) / 0.25
+        labels = rng.randint(1, ML_CLASSES, (B, 5)).astype(np.int64)
+        labels[0, 3:] = 0        # padded label set (0 is ignored)
+        labels[1, 2] = labels[1, 1]  # duplicate (reference uniques per row)
+        batches.append({"image": images, "labels": labels})
+    return batches
+
+
+@pytest.mark.parametrize("task", ["masked_lm", "token_classification",
+                                  "multilabel_classification"])
 def test_task_training_trajectory_parity(task):
     """5 reference iterations == 5 of our jitted steps for the
     non-captioning pretext tasks: same per-step losses, same final weights
     (reference masked_lm.py:61-76 label-masked CE; classification.py:82-93
-    KL to the K-hot target), under the full recipe (clip, dual LR, NO_DECAY
-    mask, lookahead crossing one k=5 sync, warmup→cosine)."""
+    KL to the K-hot target, shared by token and multilabel variants with
+    different label vocabularies/ignore sets), under the full recipe (clip,
+    dual LR, NO_DECAY mask, lookahead crossing one k=5 sync,
+    warmup→cosine)."""
     from virtex.models.classification import (
+        MultiLabelClassificationModel as RefMultiLabel,
         TokenClassificationModel as RefTokenCls,
     )
     from virtex.models.masked_lm import MaskedLMModel as RefMaskedLM
     from virtex.modules.textual_heads import LinearTextualHead as RefLinear
     from virtex.modules.visual_backbones import TorchvisionVisualBackbone
 
-    from virtex_tpu.models.classification import TokenClassificationModel
+    from virtex_tpu.models.classification import (
+        MultiLabelClassificationModel,
+        TokenClassificationModel,
+    )
     from virtex_tpu.models.masked_lm import MaskedLMModel
     from virtex_tpu.modules.textual_heads import LinearTextualHead
 
@@ -348,11 +370,16 @@ def test_task_training_trajectory_parity(task):
             dropout=0.0, norm_first=False, mask_future_positions=False,
             max_caption_length=MAXLEN, padding_idx=0))
         batches = _make_mlm_batches(2)
-    else:
+    elif task == "token_classification":
         ref = RefTokenCls(visual, RefLinear(visual_feature_size=512,
                                             vocab_size=VOCAB),
                           ignore_indices=[0, 1, 2, 3])
         batches = _make_tokencls_batches(2)
+    else:
+        ref = RefMultiLabel(visual, RefLinear(visual_feature_size=512,
+                                              vocab_size=ML_CLASSES),
+                            ignore_indices=[0])
+        batches = _make_multilabel_batches(2)
     ref.train()
     sd0 = {k: v.detach().clone().numpy() for k, v in ref.state_dict().items()}
 
@@ -389,13 +416,20 @@ def test_task_training_trajectory_parity(task):
                 dropout=0.0, norm_type="post", mask_future_positions=False,
                 max_caption_length=MAXLEN, padding_idx=0,
                 dtype=jnp.float32))
-    else:
+    elif task == "token_classification":
         converted = convert_virtex_checkpoint(sd0)
         model = TokenClassificationModel(
             visual=ResNetVisualBackbone("resnet18", dtype=jnp.float32),
             textual=LinearTextualHead(visual_feature_size=512,
                                       vocab_size=VOCAB),
             ignore_indices=(0, 1, 2, 3))
+    else:
+        converted = convert_virtex_checkpoint(sd0)
+        model = MultiLabelClassificationModel(
+            visual=ResNetVisualBackbone("resnet18", dtype=jnp.float32),
+            textual=LinearTextualHead(visual_feature_size=512,
+                                      vocab_size=ML_CLASSES),
+            ignore_indices=(0,))
     tx = build_optimizer(
         converted["params"], "sgd", make_schedule("cosine", TOTAL, WARMUP),
         lr=LR, cnn_lr=CNN_LR, weight_decay=WD, no_decay_pattern=NO_DECAY,
