@@ -278,6 +278,96 @@ def test_training_trajectory_parity(optimizer_name):
     assert np.std(our_losses) > 1e-4
 
 
+def test_forward_captioning_trajectory_parity():
+    """5 reference iterations == 5 of our jitted steps for
+    ``ForwardCaptioningModel`` — completes the trajectory matrix over all
+    FIVE pretext tasks. The forward-only task is the same CaptioningModel
+    trunk with ``caption_backward=False`` (reference ``captioning.py:
+    234-253``), so no backward head exists and the NO_DECAY regex bites a
+    smaller parameter set; the export side must emit a forward-only
+    state-dict (no ``backward_textual.*`` keys)."""
+    from virtex.models.captioning import ForwardCaptioningModel as RefForward
+
+    from virtex_tpu.models.captioning import ForwardCaptioningModel
+
+    STEPS_TASK = 5
+    torch.manual_seed(31)
+    visual = TorchvisionVisualBackbone("resnet18", visual_feature_size=512)
+    textual = TransformerDecoderTextualHead(
+        visual_feature_size=512, vocab_size=VOCAB, hidden_size=H,
+        num_layers=L, attention_heads=HEADS, feedforward_size=FF,
+        dropout=0.0, norm_first=False, max_caption_length=MAXLEN,
+        padding_idx=0)
+    ref = RefForward(visual, textual, sos_index=1, eos_index=2)
+    ref.train()
+    sd0 = {k: v.detach().clone().numpy() for k, v in ref.state_dict().items()}
+
+    param_groups = []
+    for name, param in ref.named_parameters():
+        wd = 0.0 if re.match(NO_DECAY, name) else WD
+        lr = CNN_LR if "cnn" in name else LR
+        param_groups.append({"params": [param], "lr": lr,
+                             "weight_decay": wd})
+    optimizer = RefLookahead(torch.optim.SGD(param_groups, momentum=MOM),
+                             k=LOOKAHEAD_K, alpha=LOOKAHEAD_ALPHA)
+    scheduler = LinearWarmupCosineAnnealingLR(optimizer, TOTAL, WARMUP)
+
+    batches = _make_batches(2)
+    ref_losses = []
+    for step in range(STEPS_TASK):
+        images, tokens, noitpac, lengths = batches[step % len(batches)]
+        optimizer.zero_grad()
+        out = ref(_torch_batch(images, tokens, noitpac, lengths))
+        out["loss"].backward()
+        torch.nn.utils.clip_grad_norm_(ref.parameters(), CLIP)
+        optimizer.step()
+        scheduler.step()
+        ref_losses.append(float(out["loss"]))
+
+    converted = convert_virtex_checkpoint(sd0, num_layers=L, prenorm=False)
+    model = ForwardCaptioningModel(
+        visual=ResNetVisualBackbone("resnet18", dtype=jnp.float32),
+        textual=TransformerTextualHead(
+            visual_feature_size=512, vocab_size=VOCAB, hidden_size=H,
+            num_layers=L, attention_heads=HEADS, feedforward_size=FF,
+            dropout=0.0, norm_type="post", mask_future_positions=True,
+            max_caption_length=MAXLEN, padding_idx=0, bidirectional=False,
+            dtype=jnp.float32))
+    tx = build_optimizer(
+        converted["params"], "sgd", make_schedule("cosine", TOTAL, WARMUP),
+        lr=LR, cnn_lr=CNN_LR, weight_decay=WD, no_decay_pattern=NO_DECAY,
+        momentum=MOM, clip_norm=CLIP, use_lookahead=True,
+        lookahead_k=LOOKAHEAD_K, lookahead_alpha=LOOKAHEAD_ALPHA)
+    state = TrainState.create(converted["params"], converted["batch_stats"],
+                              tx)
+    train_step = make_train_step(model, tx, donate=False)
+    rng = jax.random.PRNGKey(0)
+    our_losses = []
+    for step in range(STEPS_TASK):
+        images, tokens, noitpac, lengths = batches[step % len(batches)]
+        state, metrics = train_step(
+            state, _jax_batch(images, tokens, noitpac, lengths), rng)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(
+        our_losses, ref_losses, rtol=2e-4,
+        err_msg="forward-captioning per-step losses diverged")
+
+    ours_sd = export_virtex_checkpoint(
+        {"params": jax.device_get(state.params),
+         "batch_stats": jax.device_get(state.batch_stats)})
+    ref_sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    ours_sd = {k: v for k, v in ours_sd.items()
+               if "num_batches_tracked" not in k}
+    assert set(ours_sd) == set(
+        k for k in ref_sd if "num_batches_tracked" not in k)
+    for k, v in ours_sd.items():
+        np.testing.assert_allclose(
+            v, ref_sd[k], rtol=1e-3, atol=2e-5,
+            err_msg=f"forward-captioning weight diverged: {k}")
+    assert np.std(our_losses) > 1e-5
+
+
 # ---------------------------------------------------------------------------
 # Non-captioning pretext tasks (round-5 verdict #5): the label-masked CE of
 # masked_lm and the KL-to-K-hot of token_classification are loss paths whose
